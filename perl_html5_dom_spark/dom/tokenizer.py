@@ -1,0 +1,429 @@
+"""HTML5 tokenizer (WHATWG §13.2.5), pure Python, regex-accelerated.
+
+Re-implements from scratch the behavior the reference gets from MyHTML's
+tokenizer (invoked at /root/reference/DOM.xs:963). Emits plain tuples;
+the tree builder drives the raw-text state switches (RCDATA / RAWTEXT /
+script data / PLAINTEXT) via :meth:`Tokenizer.set_rawtext`.
+
+Token shapes (tuples, for speed):
+    ("char",    text, raw_begin, raw_length)
+    ("start",   name, attrs, self_closing, raw_begin, raw_length,
+                 elem_begin, elem_length)
+    ("end",     name, raw_begin, raw_length, elem_begin, elem_length)
+    ("comment", data, raw_begin, raw_length, elem_begin, elem_length)
+    ("doctype", name, public_id, system_id, force_quirks)
+    ("eof",)
+
+Positions mirror the reference's token spans (/root/reference/DOM.xs:2161-2172,
+verified by t/0-api.t:709-713): ``raw_*`` covers the tag name as it appeared,
+``elem_*`` covers ``<`` .. ``>`` inclusive.  Offsets are in code points of the
+decoded input string.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from html.entities import html5 as _HTML5_ENTITIES
+
+__all__ = ["Tokenizer", "decode_entities_attr"]
+
+_WS = "\t\n\x0c "
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\x0c />]*")
+_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c />=][^\t\n\x0c />=]*|=+[^\t\n\x0c />=]*")
+_UNQUOTED_VAL_RE = re.compile(r"[^\t\n\x0c >]*")
+_DOCTYPE_RE = re.compile(r"doctype", re.IGNORECASE)
+
+# attribute-value character references: named refs without a trailing ';'
+# are NOT expanded when followed by [a-zA-Z0-9=] (WHATWG §13.2.5.73)
+_ATTR_ENTITY_RE = re.compile(
+    r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]{0,32};?)"
+)
+
+# longest-first legacy (no-semicolon) entity names
+_LEGACY_NAMES = sorted(
+    (n for n in _HTML5_ENTITIES if not n.endswith(";")), key=len, reverse=True
+)
+
+
+def decode_entities_attr(value: str) -> str:
+    """Entity-decode an attribute value per the attribute-state rules."""
+    if "&" not in value:
+        return value
+    out = []
+    i = 0
+    n = len(value)
+    while True:
+        j = value.find("&", i)
+        if j == -1:
+            out.append(value[i:])
+            break
+        out.append(value[i:j])
+        m = _ATTR_ENTITY_RE.match(value, j)
+        if not m:
+            out.append("&")
+            i = j + 1
+            continue
+        body = m.group(1)
+        end = m.end()
+        if body[0] == "#" or body.endswith(";"):
+            if body[0] != "#" and body not in _HTML5_ENTITIES:
+                # unknown named entity with ';' — try longest legacy prefix
+                repl = None
+                stem = body[:-1]
+                for name in _LEGACY_NAMES:
+                    if stem.startswith(name):
+                        repl = _HTML5_ENTITIES[name] + stem[len(name):] + ";"
+                        break
+                out.append(repl if repl is not None else "&" + body)
+            else:
+                out.append(_html.unescape("&" + body))
+            i = end
+        else:
+            # no semicolon: expand longest legacy prefix only if the char
+            # right after it is not alnum or '='
+            repl = None
+            for name in _LEGACY_NAMES:
+                if body.startswith(name):
+                    after = j + 1 + len(name)
+                    nxt = value[after] if after < len(value) else ""
+                    if nxt.isalnum() or nxt == "=":
+                        break
+                    repl = _HTML5_ENTITIES[name]
+                    out.append(repl + value[j + 1 + len(name): end])
+                    break
+            if repl is None:
+                out.append("&" + body)
+            i = end
+    return "".join(out)
+
+
+def _decode_text(text: str) -> str:
+    if "&" in text:
+        text = _html.unescape(text)
+    return text
+
+
+class Tokenizer:
+    """Pull tokenizer. The tree builder calls :meth:`next_token` repeatedly
+    and may call :meth:`set_rawtext` / :attr:`allow_cdata` between pulls."""
+
+    __slots__ = ("src", "pos", "n", "_raw_mode", "_raw_tag", "allow_cdata", "_done")
+
+    def __init__(self, src: str) -> None:
+        # input-stream preprocessing: newline normalization (WHATWG §13.2.3.5)
+        if "\r" in src:
+            src = src.replace("\r\n", "\n").replace("\r", "\n")
+        self.src = src
+        self.pos = 0
+        self.n = len(src)
+        self._raw_mode: str | None = None  # 'rcdata'|'rawtext'|'script'|'plaintext'
+        self._raw_tag: str = ""
+        self.allow_cdata = False
+        self._done = False
+
+    # -- state switches driven by the tree builder ---------------------
+    def set_rawtext(self, tag: str, mode: str) -> None:
+        self._raw_mode = mode
+        self._raw_tag = tag
+
+    # -- main entry -----------------------------------------------------
+    def next_token(self):
+        src, n = self.src, self.n
+        pos = self.pos
+        if self._raw_mode is not None:
+            return self._raw_token()
+        if pos >= n:
+            if self._done:
+                return ("eof",)
+            self._done = True
+            return ("eof",)
+        lt = src.find("<", pos)
+        if lt == -1:
+            self.pos = n
+            text = src[pos:]
+            if "\x00" in text:
+                text = text.replace("\x00", "")
+            return ("char", _decode_text(text), pos, n - pos)
+        if lt > pos:
+            self.pos = lt
+            text = src[pos:lt]
+            if "\x00" in text:
+                text = text.replace("\x00", "")
+            return ("char", _decode_text(text), pos, lt - pos)
+        # at '<'
+        return self._markup(lt)
+
+    # -- raw text (RCDATA / RAWTEXT / script data / PLAINTEXT) ----------
+    def _raw_token(self):
+        src, n = self.src, self.n
+        pos = self.pos
+        mode = self._raw_mode
+        if mode == "plaintext":
+            self._raw_mode = None
+            self.pos = n
+            text = src[pos:].replace("\x00", "�")
+            return ("char", text, pos, n - pos)
+        # find the appropriate end tag
+        pat = re.compile(
+            r"</" + re.escape(self._raw_tag) + r"(?=[\t\n\x0c />]|$)", re.IGNORECASE
+        )
+        m = pat.search(src, pos)
+        if m is None:
+            self._raw_mode = None
+            self.pos = n
+            if pos >= n:
+                return ("eof",)
+            text = src[pos:].replace("\x00", "�")
+            if mode == "rcdata":
+                text = _decode_text(text)
+            return ("char", text, pos, n - pos)
+        if m.start() > pos:
+            self.pos = m.start()
+            text = src[pos: m.start()].replace("\x00", "�")
+            if mode == "rcdata":
+                text = _decode_text(text)
+            return ("char", text, pos, m.start() - pos)
+        # at the end tag
+        self._raw_mode = None
+        return self._markup(pos)
+
+    # -- markup dispatch at '<' -----------------------------------------
+    def _markup(self, lt: int):
+        src, n = self.src, self.n
+        i = lt + 1
+        if i >= n:
+            self.pos = n
+            return ("char", "<", lt, 1)
+        c = src[i]
+        if c == "/":
+            return self._end_tag(lt)
+        if c == "!":
+            if src.startswith("--", i + 1):
+                return self._comment(lt)
+            m = _DOCTYPE_RE.match(src, i + 1)
+            if m:
+                return self._doctype(lt, m.end())
+            if self.allow_cdata and src.startswith("[CDATA[", i + 1):
+                end = src.find("]]>", i + 8)
+                if end == -1:
+                    self.pos = n
+                    return ("char", src[i + 8:], i + 8, n - i - 8)
+                self.pos = end + 3
+                return ("char", src[i + 8: end], i + 8, end - i - 8)
+            return self._bogus_comment(lt, i + 1)
+        if c == "?":
+            return self._bogus_comment(lt, i)
+        if c.isalpha() and c.isascii():
+            return self._start_tag(lt)
+        # plain '<'
+        self.pos = i
+        return ("char", "<", lt, 1)
+
+    def _bogus_comment(self, lt: int, data_start: int):
+        src, n = self.src, self.n
+        gt = src.find(">", data_start)
+        if gt == -1:
+            self.pos = n
+            data = src[data_start:]
+            end = n
+        else:
+            self.pos = gt + 1
+            data = src[data_start:gt]
+            end = gt + 1
+        data = data.replace("\x00", "�")
+        return ("comment", data, data_start, len(data), lt, end - lt)
+
+    def _comment(self, lt: int):
+        src, n = self.src, self.n
+        ds = lt + 4  # after '<!--'
+        # spec: '<!-->' and '<!--->' close immediately with empty data
+        if src.startswith(">", ds):
+            self.pos = ds + 1
+            return ("comment", "", ds, 0, lt, ds + 1 - lt)
+        if src.startswith("->", ds):
+            self.pos = ds + 2
+            return ("comment", "", ds, 0, lt, ds + 2 - lt)
+        e1 = src.find("-->", ds)
+        e2 = src.find("--!>", ds)
+        if e2 != -1 and (e1 == -1 or e2 < e1):
+            data = src[ds:e2]
+            self.pos = e2 + 4
+            end = e2 + 4
+        elif e1 != -1:
+            data = src[ds:e1]
+            self.pos = e1 + 3
+            end = e1 + 3
+        else:
+            data = src[ds:]
+            # EOF-in-comment: trailing dashes belong to data per spec resync
+            self.pos = n
+            end = n
+        data = data.replace("\x00", "�")
+        return ("comment", data, ds, len(data), lt, end - lt)
+
+    def _doctype(self, lt: int, after_kw: int):
+        src, n = self.src, self.n
+        i = after_kw
+        while i < n and src[i] in _WS:
+            i += 1
+        if i >= n:
+            self.pos = n
+            return ("doctype", "", None, None, True)
+        if src[i] == ">":
+            self.pos = i + 1
+            return ("doctype", "", None, None, True)
+        # name
+        j = i
+        while j < n and src[j] not in _WS and src[j] != ">":
+            j += 1
+        name = src[i:j].lower().replace("\x00", "�")
+        public_id = None
+        system_id = None
+        quirks = False
+        i = j
+        while i < n and src[i] in _WS:
+            i += 1
+        if i < n and src[i] != ">":
+            kw = src[i: i + 6].lower()
+            if kw == "public":
+                i += 6
+                public_id, i, ok = self._doctype_id(i)
+                if not ok:
+                    quirks = True
+                else:
+                    while i < n and src[i] in _WS:
+                        i += 1
+                    if i < n and src[i] in "\"'":
+                        system_id, i, ok = self._doctype_id(i, expect_quote_only=True)
+                        if not ok:
+                            quirks = True
+            elif kw == "system":
+                i += 6
+                system_id, i, ok = self._doctype_id(i)
+                if not ok:
+                    quirks = True
+            else:
+                quirks = True
+        gt = src.find(">", i)
+        if gt == -1:
+            self.pos = n
+            quirks = True
+        else:
+            self.pos = gt + 1
+        return ("doctype", name, public_id, system_id, quirks)
+
+    def _doctype_id(self, i: int, expect_quote_only: bool = False):
+        src, n = self.src, self.n
+        while i < n and src[i] in _WS:
+            i += 1
+        if i >= n or src[i] not in "\"'":
+            return None, i, False
+        q = src[i]
+        j = src.find(q, i + 1)
+        if j == -1:
+            gt = src.find(">", i + 1)
+            stop = gt if gt != -1 else n
+            return src[i + 1: stop], stop, False
+        # unterminated-by-'>' check: a '>' before the closing quote aborts
+        gt = src.find(">", i + 1)
+        if gt != -1 and gt < j:
+            return src[i + 1: gt], gt, False
+        return src[i + 1: j], j + 1, True
+
+    def _end_tag(self, lt: int):
+        src, n = self.src, self.n
+        i = lt + 2
+        if i >= n:
+            self.pos = n
+            return ("char", "</", lt, 2)
+        c = src[i]
+        if c == ">":
+            # '</>' dropped entirely
+            self.pos = i + 1
+            return self.next_token()
+        if not (c.isalpha() and c.isascii()):
+            return self._bogus_comment(lt, i)
+        m = _TAG_NAME_RE.match(src, i)
+        name_raw = m.group(0)
+        name = name_raw.lower()
+        i = m.end()
+        # skip (and discard) any attributes on the end tag
+        attrs, self_closing, i, ok = self._attrs(i)
+        if not ok:
+            self.pos = n
+            return ("eof",)
+        self.pos = i
+        return ("end", name, lt + 2, len(name_raw), lt, i - lt)
+
+    def _start_tag(self, lt: int):
+        src, n = self.src, self.n
+        m = _TAG_NAME_RE.match(src, lt + 1)
+        name_raw = m.group(0)
+        name = name_raw.lower().replace("\x00", "�")
+        i = m.end()
+        attrs, self_closing, i, ok = self._attrs(i)
+        if not ok:
+            self.pos = n
+            return ("eof",)
+        self.pos = i
+        return (
+            "start", name, attrs, self_closing,
+            lt + 1, len(name_raw), lt, i - lt,
+        )
+
+    def _attrs(self, i: int):
+        """Parse attributes until '>' (inclusive). Returns
+        (attrs, self_closing, new_pos, ok). ok=False on EOF-in-tag."""
+        src, n = self.src, self.n
+        attrs: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        self_closing = False
+        while True:
+            while i < n and src[i] in _WS:
+                i += 1
+            if i >= n:
+                return attrs, False, n, False
+            c = src[i]
+            if c == ">":
+                return attrs, self_closing, i + 1, True
+            if c == "/":
+                # self-closing only if '/>' — otherwise skip the '/'
+                if i + 1 < n and src[i + 1] == ">":
+                    return attrs, True, i + 2, True
+                i += 1
+                continue
+            m = _ATTR_NAME_RE.match(src, i)
+            if not m:
+                i += 1
+                continue
+            aname = m.group(0).lower().replace("\x00", "�")
+            i = m.end()
+            while i < n and src[i] in _WS:
+                i += 1
+            value = ""
+            if i < n and src[i] == "=":
+                i += 1
+                while i < n and src[i] in _WS:
+                    i += 1
+                if i >= n:
+                    return attrs, False, n, False
+                q = src[i]
+                if q == '"' or q == "'":
+                    j = src.find(q, i + 1)
+                    if j == -1:
+                        return attrs, False, n, False
+                    value = src[i + 1: j]
+                    i = j + 1
+                else:
+                    m2 = _UNQUOTED_VAL_RE.match(src, i)
+                    value = m2.group(0)
+                    i = m2.end()
+                value = value.replace("\x00", "�")
+                if "&" in value:
+                    value = decode_entities_attr(value)
+            if aname not in seen:
+                seen.add(aname)
+                attrs.append((aname, value))
+        # unreachable
