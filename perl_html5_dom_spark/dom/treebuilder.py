@@ -1178,7 +1178,25 @@ class TreeBuilder:
                 self.mode = "after_body"
                 self._reprocess(token)
             return
-        if tag in _CLOSE_P_BLOCKS or tag in ("button", "listing", "pre"):
+        if tag == "p":
+            if not self._in_button_scope("p"):
+                self._insert_element(("start", "p", [], False))
+            self._close_p()
+            return
+        if tag == "li":
+            if not self._in_list_scope("li"):
+                return
+            self._generate_implied_end_tags(exclude="li")
+            self._pop_until("li")
+            return
+        if tag in ("dd", "dt"):
+            if not self._in_scope(tag):
+                return
+            self._generate_implied_end_tags(exclude=tag)
+            self._pop_until(tag)
+            return
+        if (tag in _CLOSE_P_BLOCKS and tag != "p") or \
+                tag in ("button", "listing", "pre"):
             if not self._in_scope(tag):
                 return
             self._generate_implied_end_tags()
@@ -1198,23 +1216,6 @@ class TreeBuilder:
                     return
                 self._generate_implied_end_tags()
                 self._pop_until("form")
-            return
-        if tag == "p":
-            if not self._in_button_scope("p"):
-                self._insert_element(("start", "p", [], False))
-            self._close_p()
-            return
-        if tag == "li":
-            if not self._in_list_scope("li"):
-                return
-            self._generate_implied_end_tags(exclude="li")
-            self._pop_until("li")
-            return
-        if tag in ("dd", "dt"):
-            if not self._in_scope(tag):
-                return
-            self._generate_implied_end_tags(exclude=tag)
-            self._pop_until(tag)
             return
         if tag in HEADING_TAGS:
             if not self._in_scope(HEADING_TAGS):

@@ -1,0 +1,93 @@
+"""Serialization goldens re-expressing /root/reference/t/0-api.t:554-628."""
+
+from perl_html5_dom_spark import HTML5DOM
+
+SRC = ('<body aaa="bb"><b>      <!-- super cool new comment --> ololo ??? '
+       '<div class="red">&nbsp;&gt;&lt;&quot;</div></b></body>')
+
+GOLDENS = {
+    "html": '<body aaa="bb"><b>      <!-- super cool new comment --> ololo '
+            '??? <div class="red">&nbsp;&gt;&lt;"</div></b></body>',
+    "innerHTML": '<b>      <!-- super cool new comment --> ololo ??? '
+                 '<div class="red">&nbsp;&gt;&lt;"</div></b>',
+    "outerHTML": '<body aaa="bb"><b>      <!-- super cool new comment --> '
+                 'ololo ??? <div class="red">&nbsp;&gt;&lt;"</div></b></body>',
+    "nodeHtml": '<body aaa="bb">',
+    "text": '       ololo ??? \xa0><"',
+    "innerText": 'ololo ???\n\xa0><"\n',
+    "outerText": 'ololo ???\n\xa0><"\n',
+    "textContent": '       ololo ??? \xa0><"',
+    "nodeValue": None,
+    "data": None,
+}
+
+
+def test_serialization_goldens():
+    tree = HTML5DOM().parse(SRC)
+    body = tree.body()
+    for method, expected in GOLDENS.items():
+        got = getattr(body, method)()
+        assert got == expected, (method, got, expected)
+
+
+def test_setter_fragments():
+    """t/0-api.t:581-628 — html/text setters on #test."""
+    frag_html = ('<b>      <!-- super cool new comment --> ololo ??? '
+                 '<div class="red">&nbsp;&gt;&lt;&quot;</div></b>')
+    cases = [
+        ("html", frag_html,
+         '<body><div id="test"><b>      <!-- super cool new comment --> '
+         'ololo ??? <div class="red">&nbsp;&gt;&lt;"</div></b></div></body>'),
+        ("innerHTML", frag_html,
+         '<body><div id="test"><b>      <!-- super cool new comment --> '
+         'ololo ??? <div class="red">&nbsp;&gt;&lt;"</div></b></div></body>'),
+        ("outerHTML", frag_html,
+         '<body><b>      <!-- super cool new comment --> ololo ??? '
+         '<div class="red">&nbsp;&gt;&lt;"</div></b></body>'),
+        ("text", "\nololo   >^_^<   trololo\n",
+         '<body><div id="test">\nololo   &gt;^_^&lt;   trololo\n</div></body>'),
+        ("textContent", "\nololo   >^_^<   trololo\n",
+         '<body><div id="test">\nololo   &gt;^_^&lt;   trololo\n</div></body>'),
+        ("innerText", "\nololo   >^_^<   trololo\n",
+         '<body><div id="test"><br>ololo   &gt;^_^&lt;   trololo<br></div></body>'),
+        ("outerText", "\nololo   >^_^<   trololo\n",
+         '<body><br>ololo   &gt;^_^&lt;   trololo<br></body>'),
+    ]
+    for method, value, expected_body in cases:
+        tree = HTML5DOM().parse(
+            '<div id="test"><b><!-- super cool new comment --> ololo ??? '
+            '<div class="red">&nbsp;&gt;&lt;&quot;</div></b></div>')
+        el = tree.at("#test")
+        getattr(el, method)(value)
+        assert tree.body().html() == expected_body, (method, tree.body().html())
+
+
+def test_doctype_serialization():
+    tree = HTML5DOM().parse("<!DOCTYPE html><p>x</p>")
+    assert tree.html().startswith("<!DOCTYPE html>")
+    tree2 = HTML5DOM().parse(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+        '"http://www.w3.org/TR/html4/strict.dtd"><p>x</p>')
+    assert tree2.html().startswith(
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+        '"http://www.w3.org/TR/html4/strict.dtd">')
+
+
+def test_position():
+    """t/0-api.t:709-713 — raw/element spans point into the input."""
+    buf = '<div><div id="position"></div></div>'
+    tree = HTML5DOM().parse(buf)
+    pos = tree.at("#position").position()
+    assert buf[pos["raw_begin"]: pos["raw_begin"] + pos["raw_length"]] == "div"
+    assert buf[pos["element_begin"]:
+               pos["element_begin"] + pos["element_length"]] == \
+        '<div id="position">'
+
+
+def test_void_selfclosed():
+    tree = HTML5DOM().parse("<div></div>")
+    frag = tree.parseFragment("<meta />")
+    assert frag.first().selfClosed() is True
+    frag2 = tree.parseFragment("<meta></meta>")
+    assert frag2.first().selfClosed() is False
+    assert frag.first().void() is True

@@ -1,0 +1,100 @@
+"""Tree-construction conformance cases in the html5lib style
+(the reference scores 1647/1666 on that corpus — DOM.pod:3318-3377).
+Each case: input HTML → expected body.outerHTML after reserialization."""
+
+import pytest
+
+from perl_html5_dom_spark import HTML5DOM
+
+
+def body_html(src: str) -> str:
+    t = HTML5DOM().parse(src)
+    return t.body().html()
+
+
+@pytest.mark.parametrize("src,expected", [
+    # adoption agency
+    ("<b><i></b></i>", "<body><b><i></i></b></body>"),
+    ("<p>1<b>2<i>3</b>4</i>5</p>",
+     "<body><p>1<b>2<i>3</i></b><i>4</i>5</p></body>"),
+    ("<a href=x>1<div>2<a>3</a></div>",
+     '<body><a href="x">1</a><div><a href="x">2</a><a>3</a></div></body>'),
+    ("<b>1<p>2</b>3</p>", "<body><b>1</b><p><b>2</b>3</p></body>"),
+    # foster parenting
+    ("<table>text<td>cell</td></table>",
+     "<body>text<table><tbody><tr><td>cell</td></tr></tbody></table></body>"),
+    ("<table><div>d</div><tr><td>x</td></tr></table>",
+     "<body><div>d</div><table><tbody><tr><td>x</td></tr></tbody></table></body>"),
+    # implied tags
+    ("<ul><li>a<li>b</ul>", "<body><ul><li>a</li><li>b</li></ul></body>"),
+    ("<dl><dt>t<dd>d</dl>", "<body><dl><dt>t</dt><dd>d</dd></dl></body>"),
+    ("<p>one<p>two", "<body><p>one</p><p>two</p></body>"),
+    ("<select><option>a<option>b</select>",
+     "<body><select><option>a</option><option>b</option></select></body>"),
+    # headings
+    ("<h1>a<h2>b", "<body><h1>a</h1><h2>b</h2></body>"),
+    # rawtext / rcdata
+    ("<script>if (a<b) x();</script><div>y</div>",
+     "<body><div>y</div></body>"),
+    ("<textarea><b>not bold</b></textarea>",
+     "<body><textarea>&lt;b&gt;not bold&lt;/b&gt;</textarea></body>"),
+    ("<xmp><b>raw</b></xmp>", "<body><xmp><b>raw</b></xmp></body>"),
+    # entities
+    ("<p>&lt;&gt;&amp;&quot;&nbsp;</p>",
+     "<body><p>&lt;&gt;&amp;\"&nbsp;</p></body>"),
+    ("<p>&notit; &notin;</p>", "<body><p>\xacit; ∉</p></body>"),
+    # tables
+    ("<table><caption>c</caption><col><tr><td>x</td></tr></table>",
+     "<body><table><caption>c</caption><colgroup><col></colgroup>"
+     "<tbody><tr><td>x</td></tr></tbody></table></body>"),
+    ("<table><tbody><tr><th>h</th></tr></table>",
+     "<body><table><tbody><tr><th>h</th></tr></tbody></table></body>"),
+    # foreign content
+    ('<svg viewBox="0 0 1 1"><circle r="1"/></svg>',
+     '<body><svg viewBox="0 0 1 1"><circle r="1" /></svg></body>'),
+    ("<math><mi>x</mi></math>", "<body><math><mi>x</mi></math></body>"),
+    ("<svg><foreignObject><div>html</div></foreignObject></svg>",
+     "<body><svg><foreignObject><div>html</div></foreignObject></svg></body>"),
+    # svg breakout
+    ("<svg><div>break</div></svg>", "<body><svg></svg><div>break</div></body>"),
+    # end tag closes through blocks
+    ("<div><span>a</div>b", "<body><div><span>a</span></div>b</body>"),
+    # button scope
+    ("<button>a<button>b</button>",
+     "<body><button>a</button><button>b</button></body>"),
+    # frameset ignored after body content
+    ("x<frameset></frameset>", "<body>x</body>"),
+    # plaintext swallows everything
+    ("<plaintext><b>raw", "<body><plaintext><b>raw</plaintext></body>"),
+    # form pointer: nested forms ignored
+    ("<form id=a><form id=b><input></form>",
+     '<body><form id="a"><input></form></body>'),
+    # stray end tags ignored
+    ("</div></p3>x", "<body>x</body>"),
+    # comments in odd places
+    ("<!-- c --><p>x</p><!-- d -->", "<body><p>x</p><!-- d --></body>"),
+])
+def test_tree_construction(src, expected):
+    assert body_html(src) == expected
+
+
+def test_quirks_mode():
+    assert HTML5DOM().parse("<div>x</div>").compatMode() == "BackCompat"
+    assert HTML5DOM().parse("<!DOCTYPE html><div>x</div>").compatMode() == \
+        "CSS1Compat"
+
+
+def test_fragment_contexts():
+    t = HTML5DOM().parse("<div></div>")
+    frag = t.parseFragment("<tr><td>x</td></tr>", "tbody")
+    assert frag.html() == "<tr><td>x</td></tr>"
+    frag2 = t.parseFragment("<li>a</li><li>b</li>", "ul")
+    assert frag2.html() == "<li>a</li><li>b</li>"
+    frag3 = t.parseFragment("<b>bold</b> text")
+    assert frag3.html() == "<b>bold</b> text"
+
+
+def test_template_content():
+    t = HTML5DOM().parse("<template><p>x</p></template><div>y</div>")
+    assert t.find("template").length() == 1
+    assert t.at("div").text() == "y"
