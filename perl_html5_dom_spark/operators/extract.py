@@ -1,0 +1,236 @@
+"""The parse → query → extract kernel as an Arrow-vectorized Spark operator.
+
+This is the Spark restatement of the reference's three top entry points
+(/root/reference/DOM.xs:934-971 parse, DOM.xs:218-284 find/at,
+utils.c:439-576 innerText): one ``mapInPandas`` pass over batches of
+``(url, html binary)`` rows that parses each document with the pure-Python
+HTML5 engine (``dom/``), evaluates compiled CSS selectors broadcast from
+the driver (``selector/``), strips boilerplate with DOM heuristics and
+emits ``(url, text, spans, ...)`` rows.
+
+Design for 100 TB:
+  * the kernel is a black box to Catalyst, so we keep its input narrow —
+    callers should ``select("url", "html")`` before invoking so parquet
+    scans prune to the two needed columns;
+  * documents never span partitions — all tree work is partition-local,
+    the only shuffle in the whole pipeline is the optional salted
+    repartition (plans/pipeline.py);
+  * batches cross the JVM→Python boundary via Arrow (mapInPandas), the
+    analog of the reference's Perl↔XS boundary; zero per-row Python UDFs;
+  * selector compilation happens once on the driver and ships to
+    executors inside the closure — the analog of the reference's
+    precompiled-selector reuse (DOM.pod:2544-2551).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+from ..dom import encoding as enc
+from ..dom import innertext, serializer
+from ..dom.constants import ELEMENT_NODE, TEXT_NODE
+from ..dom.document import Document
+from ..dom.treebuilder import TreeBuilder
+from ..selector import matcher
+
+# ---------------------------------------------------------------------------
+# Boilerplate heuristics (Phase 3 of SURVEY.md §7)
+# ---------------------------------------------------------------------------
+
+#: subtrees never part of main content (tag blocklist)
+BLOCK_TAGS = frozenset(
+    "header footer nav aside script style template noscript form iframe "
+    "button select option svg math".split()
+)
+
+#: class/id tokens marking boilerplate subtrees
+BLOCK_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:sidebar|widget|nav|navbar|menu|footer|header|banner|"
+    r"breadcrumb|comment|share|social|related|promo|sponsor|ad|ads|advert|"
+    r"cookie|popup|modal)(?:$|[\s_-])",
+    re.I,
+)
+
+#: candidate containers for main content
+CANDIDATE_TAGS = frozenset("article main section div body td".split())
+
+
+def _is_blocked(doc: Document, nid: int) -> bool:
+    tag = doc.tag[nid]
+    if tag in BLOCK_TAGS:
+        return True
+    attrs = doc.attrs[nid]
+    if attrs:
+        blob = (attrs.get("class") or "") + " " + (attrs.get("id") or "")
+        if blob.strip() and BLOCK_CLASS_RE.search(blob):
+            return True
+    return False
+
+
+def _visible_text_stats(doc: Document, root: int) -> tuple[int, int, int]:
+    """(text_len, link_text_len, p_text_len) under root, skipping blocked
+    subtrees — single stack walk over the flat arrays."""
+    text_len = link_len = p_len = 0
+    stack = [(root, False, False)]
+    first = True
+    while stack:
+        nid, in_link, in_p = stack.pop()
+        nt = doc.node_type[nid]
+        if nt == TEXT_NODE:
+            n = len(doc.text[nid] or "")
+            text_len += n
+            if in_link:
+                link_len += n
+            if in_p:
+                p_len += n
+            continue
+        if nt != ELEMENT_NODE and not first:
+            continue
+        if not first and _is_blocked(doc, nid):
+            continue
+        first = False
+        tag = doc.tag[nid]
+        il = in_link or tag == "a"
+        ip = in_p or tag == "p"
+        child = doc.first_child[nid]
+        while child != -1:
+            stack.append((child, il, ip))
+            child = doc.next_sib[child]
+    return text_len, link_len, p_len
+
+
+def select_main_node(doc: Document) -> int:
+    """Pick the main-content container: the candidate element with the
+    highest boilerplate-discounted text density score.
+
+    score = (text_len - link_text_len) * (1 + p_bonus), where p_bonus
+    favours paragraph-bearing containers; deeper (smaller) containers win
+    ties so we don't always answer <body>.
+    """
+    order = doc.order
+    depth = {doc.root: 0}
+    for nid in order:
+        p = doc.parent[nid]
+        depth[nid] = depth.get(p, 0) + 1
+    best, best_key = doc.body_node, (-1.0, -1)
+    for nid in order:
+        if doc.node_type[nid] != ELEMENT_NODE:
+            continue
+        if doc.tag[nid] not in CANDIDATE_TAGS:
+            continue
+        if _is_blocked(doc, nid):
+            continue
+        tl, ll, pl = _visible_text_stats(doc, nid)
+        if tl == 0:
+            continue
+        score = (tl - ll) * (1.0 + (pl / tl))
+        # a deeper container with ≥95% of the best score is a tighter
+        # main-content bound (body/main/article often tie exactly)
+        if score > best_key[0] * 1.0526 or (
+            score >= best_key[0] * 0.95 and depth[nid] > best_key[1]
+        ):
+            best, best_key = nid, (max(score, best_key[0]), depth[nid])
+    return best if best != -1 else doc.root
+
+
+def main_text(doc: Document) -> str:
+    """Extracted main content: innerText of each <p> descendant of the
+    best container joined by blank lines; falls back to the container's
+    own innerText when it holds no paragraphs."""
+    root = select_main_node(doc)
+    paras: list[str] = []
+    stack = [root]
+    while stack:
+        nid = stack.pop()
+        if doc.node_type[nid] == ELEMENT_NODE:
+            if nid != root and _is_blocked(doc, nid):
+                continue
+            if doc.tag[nid] == "p":
+                t = innertext.inner_text(doc, nid)
+                if t:
+                    paras.append(t)
+                continue
+        kids = []
+        child = doc.first_child[nid]
+        while child != -1:
+            kids.append(child)
+            child = doc.next_sib[child]
+        stack.extend(reversed(kids))
+    if paras:
+        return "\n\n".join(paras)
+    return innertext.inner_text(doc, root)
+
+
+# ---------------------------------------------------------------------------
+# Per-document kernel
+# ---------------------------------------------------------------------------
+
+#: Spark schema of the full extraction output (callers may project less)
+EXTRACT_SCHEMA = (
+    "url string, encoding string, title string, main_text string, "
+    "inner_text string, text_content string, n_nodes bigint, n_elements bigint, "
+    "spans array<struct<node_id: bigint, begin: bigint, length: bigint>>"
+)
+
+
+def parse_document(html, parser_encoding: str | None = None) -> Document:
+    """bytes|str → Document via the encoding-sniffing pipeline
+    (reference utils.c:620-649 semantics)."""
+    encoding, text = enc.sniff_and_decode(html, encoding=parser_encoding)
+    doc = TreeBuilder().parse(text)
+    doc.encoding = encoding
+    return doc
+
+
+def extract_one(html, span_selector=None) -> dict:
+    doc = parse_document(html)
+    title_nid = matcher.at(doc, "title")
+    title = serializer.text_content(doc, title_nid) if title_nid != -1 else ""
+    body = doc.body_node if doc.body_node != -1 else doc.root
+    spans = []
+    if span_selector is not None:
+        for nid in matcher.find(doc, span_selector):
+            # full open-tag span (reference "element" position,
+            # DOM.xs:2161-2172); raw_* (tag-name region) stays available
+            # on the node table (operators/nodes.py)
+            spans.append((nid, doc.elem_begin[nid], doc.elem_length[nid]))
+    n_elem = sum(1 for t in doc.node_type if t == ELEMENT_NODE)
+    return {
+        "encoding": doc.encoding,
+        "title": title,
+        "main_text": main_text(doc),
+        "inner_text": innertext.inner_text(doc, body),
+        "text_content": serializer.text_content(doc, body),
+        "n_nodes": len(doc.parent),
+        "n_elements": n_elem,
+        "spans": spans,
+    }
+
+
+def extract_pages(df, span_selector: str | None = "a[href]"):
+    """DataFrame(url, html [, ...]) → DataFrame(EXTRACT_SCHEMA).
+
+    The selector is compiled ONCE here on the driver; the compiled plan
+    rides the task closure to every executor (reference precompiled
+    selectors, DOM.pod:2544-2551).
+    """
+    compiled = (
+        matcher.compile_selector(span_selector) if span_selector else None
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "encoding", "title", "main_text", "inner_text",
+                "text_content", "n_nodes", "n_elements", "spans")}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                r = extract_one(html, compiled)
+                out["url"].append(url)
+                for k, v in r.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)

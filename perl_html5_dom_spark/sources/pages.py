@@ -1,0 +1,135 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+``BASELINE.json input_hint`` requires an input table of shape
+``pages(url string, warc_ts timestamp, html binary, text string, lang
+string)``.  No external data is allowed, so the corpus is synthesised
+deterministically from the driver-provided ``documents`` parquet table
+(``doc_id, text, lang, source, n_chars``): each document becomes one web
+page whose HTML is built from a fixed template parameterised only by
+``(doc_id, text, lang)``.
+
+The template is emitted as a *SQL expression* in two dialects — Spark SQL
+and DuckDB — from the same builder, so the driver's DuckDB oracle can
+regenerate byte-identical HTML and derive expected extraction results
+independently of our parser.  This is the analog of the reference's golden
+fixtures (/root/reference/t/0-api.t): the expected output is computable
+without running the engine under test.
+
+Template structure (per page):
+
+    <!DOCTYPE html><html lang=L><head><meta charset=utf-8>
+      <title>Doc {id}</title></head>
+    <body>
+      <header.site-header><nav><a href=/>Home</a> <a href=/about>About</a></nav></header>
+      <main><article #a{id} .post.content>
+          <h1>Doc {id}</h1><p>{text}</p>
+          {id % 5 copies of <a.ref href=https://example.org/{id}>ref</a>}
+      </article></main>
+      <aside.sidebar.widget><ul>{id % 3 + 1 copies of <li.rel>item</li>}</ul></aside>
+      <footer.site-footer><p>(c) example.org</p></footer>
+    </body></html>
+
+so structural query answers are pure arithmetic over ``doc_id`` and the
+main-content extraction answer is exactly ``text``.
+
+Scale note: ``replicate`` fans each document out to R urls (distinct url
+suffix, same body) so benchmarks can scale the corpus without external
+data; at 100 TB the same pipeline reads a real Iceberg ``pages`` table and
+every downstream operator is unchanged.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+#: tables the driver pre-registers as DuckDB views; in Spark we read the
+#: same parquet files from the sf dir.
+DOCUMENTS = "documents"
+
+
+def cast_str(x: str, dialect: str) -> str:
+    t = "string" if dialect == SPARK else "varchar"
+    return f"cast({x} as {t})"
+
+
+def html_expr(dialect: str, id_col: str = "doc_id", text_col: str = "text",
+              lang_col: str = "lang") -> str:
+    """HTML template as a SQL string expression (identical output in both
+    dialects for the same row)."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<!DOCTYPE html><html lang=\"' || {lang_col} || '\"><head>"
+        f"<meta charset=\"utf-8\"><title>Doc ' || {i} || '</title></head><body>"
+        f"<header class=\"site-header\"><nav><a href=\"/\">Home</a> "
+        f"<a href=\"/about\">About</a></nav></header>"
+        f"<main><article id=\"a' || {i} || '\" class=\"post content\">"
+        f"<h1>Doc ' || {i} || '</h1><p>' || {text_col} || '</p>' || "
+        f"repeat('<a class=\"ref\" href=\"https://example.org/' || {i} || '\">ref</a>', "
+        f"{id_col} % 5) || '</article></main>"
+        f"<aside class=\"sidebar widget\"><ul>' || "
+        f"repeat('<li class=\"rel\">item</li>', {id_col} % 3 + 1) || '</ul></aside>"
+        f"<footer class=\"site-footer\"><p>(c) example.org</p></footer>"
+        f"</body></html>'"
+    )
+
+
+def url_expr(dialect: str, id_col: str = "doc_id", rep_col: str | None = None) -> str:
+    i = cast_str(id_col, dialect)
+    base = f"'https://example.org/doc/' || {i}"
+    if rep_col is not None:
+        return f"{base} || '/' || {cast_str(rep_col, dialect)}"
+    return base
+
+
+def pages_select_sql(dialect: str, docs_rel: str, replicate: int = 1) -> str:
+    """SELECT producing the canonical pages relation
+    ``(doc_id, url, html_str, text, lang)`` in either dialect.
+
+    ``html`` binary is utf-8 bytes of ``html_str`` (encoding variants are
+    produced kernel-side; see operators/extract.py).
+    """
+    if replicate <= 1:
+        u = url_expr(dialect)
+        return (
+            f"select doc_id, {u} as url, {html_expr(dialect)} as html_str, "
+            f"text, lang from {docs_rel}"
+        )
+    u = url_expr(dialect, rep_col="r")
+    if dialect == SPARK:
+        reps = (f"select doc_id, text, lang, explode(sequence(0, {replicate - 1})) as r "
+                f"from {docs_rel}")
+    else:
+        reps = (f"select doc_id, text, lang, unnest(generate_series(0, {replicate - 1})) as r "
+                f"from {docs_rel}")
+    return (
+        f"select doc_id, r, {u} as url, {html_expr(dialect)} as html_str, "
+        f"text, lang from ({reps})"
+    )
+
+
+def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = None):
+    """Spark DataFrame of pages: (doc_id, url, warc_ts, html binary, text, lang).
+
+    ``html`` is a real binary column (utf-8 bytes) as per input_hint; at
+    scale this is the Iceberg ``pages`` table scan instead.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(pages_select_sql(SPARK, "__docs_src", replicate))
+    df = df.selectExpr(
+        "doc_id",
+        "url",
+        "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id) as warc_ts",
+        "encode(html_str, 'utf-8') as html",
+        "text",
+        "lang",
+    )
+    if partitions:
+        df = df.repartition(partitions, "url")
+    return df
+
+
+def pages_cte(docs_rel: str = DOCUMENTS, replicate: int = 1) -> str:
+    """DuckDB CTE body regenerating the same pages relation for oracles."""
+    return pages_select_sql(DUCK, docs_rel, replicate)
