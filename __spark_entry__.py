@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction on sf0.001; ``queries``/
+``oracle_sql`` expose every operator surface from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing) with DuckDB oracles that derive expected results
+independently (template arithmetic + md5-based hashes — see
+perl_html5_dom_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from perl_html5_dom_spark import queries as Q  # noqa: E402
+from perl_html5_dom_spark.operators.extract import extract_pages  # noqa: E402
+from perl_html5_dom_spark.sources.pages import pages_df  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse every sf0.001 page, strip boilerplate, emit
+    main text + link spans; exact_match must be true for every row
+    (byte-identical extracted text per url — BASELINE.json north_rule)."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, span_selector="a[href]")
+    src = pages.select("url", "text")
+    return (
+        out.join(src, "url")
+        .selectExpr(
+            "url", "title", "main_text",
+            "main_text = text as exact_match",
+            "n_nodes", "size(spans) as n_spans",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: v for k, v in Q.ORACLES.items() if v is not None}

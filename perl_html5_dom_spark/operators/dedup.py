@@ -1,0 +1,221 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash and exact n-gram Jaccard —
+all as declarative DataFrame plans (shuffle only on their group keys, no
+Python in the hot path).  Every hash is derived from ``md5`` so DuckDB
+oracles can reproduce results bit-for-bit:
+
+    H(s)  = first 60 bits of md5(s) as bigint        (cross-engine)
+    Spark:  cast(conv(substr(md5(s),1,15),16,10) as bigint)
+    DuckDB: cast('0x' || substr(md5(s),1,15) as bigint)
+
+Scale notes (100 TB):
+  * exact dedup — one shuffle on the 128-bit digest; AQE handles skew.
+  * MinHash — shingle explode is map-side; signature = groupBy(doc, perm)
+    min() with partial aggregation; LSH banding turns the O(n²) pair
+    search into an equi-join on (band, key).  Common-shingle blowup is
+    bounded by ``max_df`` (drop shingles appearing in more docs — the
+    standard stop-shingle cut).
+  * SimHash — 32-bit fingerprint via one explode + two partial-agg
+    groupBys; near-dup search joins on 8-bit chunks (pigeonhole: any pair
+    with hamming ≤ 3 shares one of 4 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: modulus for minhash permutations (2^31 - 1, prime)
+P = 2_147_483_647
+
+#: 60-bit md5-derived hash, identical in DuckDB (see module docstring)
+def H(col: str) -> str:
+    return f"cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint)"
+
+
+def perm_params(j: int) -> tuple[int, int]:
+    """Deterministic j-th minhash permutation (a*x+b) % P."""
+    a = ((2 * j + 1) * 2_654_435_761) % P
+    b = (j * 40_503 + 17) % P
+    return (a if a else 1, b)
+
+
+def tokens_expr(text_col: str = "text") -> str:
+    return f"split({text_col}, ' ')"
+
+
+def _shingles(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams per doc; the whole text
+    is the single shingle when a doc has fewer than k tokens."""
+    parts = " || ' ' || ".join(f"element_at(t, i + {d})" for d in range(k))
+    return (
+        df.selectExpr("doc_id", f"{text_col} as _txt", f"{tokens_expr(text_col)} as t")
+        .selectExpr(
+            "doc_id",
+            f"explode(array_distinct(case when size(t) >= {k} then "
+            f"transform(sequence(1, size(t) - {k - 1}), i -> {parts}) "
+            f"else array(_txt) end)) as shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups by full-text digest: (text_md5, n_copies,
+    keeper_id) for groups with >1 member; keeper = smallest doc_id."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 16, k: int = 3) -> DataFrame:
+    """(doc_id, j, mh): minhash row j of each doc's shingle set."""
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(
+        [(j, *perm_params(j)) for j in range(num_perm)], "j int, a bigint, b bigint"
+    )
+    sh = _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} % {P} as hs")
+    return (
+        sh.join(F.broadcast(perms))
+        .selectExpr("doc_id", "j", f"(a * hs + b) % {P} as h")
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
+                        k: int = 3) -> DataFrame:
+    """(a, b) doc pairs sharing at least one LSH band bucket (a < b)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, k)
+    # collect_list has no order guarantee under shuffle — build the band
+    # key order-insensitively: two independent weighted sums of row hashes
+    buckets = (
+        sig.withColumn("band", (F.col("j") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.sum(F.expr("mh * (j + 1)")).alias("bk1"),
+            F.sum(F.expr("mh")).alias("bk2"),
+        )
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    return (
+        l.join(r, ["band", "bk1", "bk2"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
+                  max_df: int | None = None) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (a, b, jaccard ≥ threshold).
+
+    Complete: any pair with jaccard > 0 shares a shingle, so the shingle
+    equi-join generates every candidate.  ``max_df`` drops stop-shingles
+    (doc frequency cap) — the standard scale cut; leave None for exact
+    small-scale/oracle runs."""
+    sh = _shingles(docs, k)
+    if max_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .selectExpr("a", "b",
+                    "round(inter / (na + nb - inter), 6) as jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
+                      num_perm: int = 16, bands: int = 4, k: int = 3) -> DataFrame:
+    """LSH candidates → exact Jaccard verification (a, b, jaccard)."""
+    cand = lsh_candidate_pairs(docs, num_perm, bands, k)
+    sh = _shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingle", "s2"),
+              "b")
+        .filter(F.col("shingle") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .selectExpr("a", "b", "round(inter / (na + nb - inter), 6) as jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): weighted-token sign fingerprint."""
+    tok = docs.selectExpr("doc_id", f"explode({tokens_expr()}) as tok")
+    weighted = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    hashed = weighted.selectExpr("doc_id", "w", f"{H('tok')} as ht")
+    spark = docs.sparkSession
+    bit_ids = spark.range(bits).selectExpr("cast(id as int) as bit")
+    return (
+        hashed.join(F.broadcast(bit_ids))
+        .selectExpr(
+            "doc_id", "bit",
+            "case when shiftright(ht, bit) % 2 = 1 then w else -w end as contrib")
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .selectExpr(
+            "doc_id",
+            "case when s > 0 then shiftleft(cast(1 as bigint), bit) "
+            "else cast(0 as bigint) end as piece")
+        .groupBy("doc_id")
+        .agg(F.sum("piece").alias("simhash"))
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      bits: int = 32, chunks: int = 4) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) via chunk-join candidates.
+
+    Pigeonhole: hamming ≤ chunks-1 guarantees an equal chunk, so with
+    chunks = max_hamming + 1 the join is exact."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits)
+    spark = docs.sparkSession
+    cids = spark.range(chunks).selectExpr("cast(id as int) as c")
+    keyed = sh.join(F.broadcast(cids)).selectExpr(
+        "doc_id", "simhash", "c",
+        f"shiftright(simhash, c * {width}) & {mask} as chunk")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(r, ["c", "chunk"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .distinct()
+        .selectExpr("a", "b", "cast(bit_count(ha ^ hb) as bigint) as hamming")
+        .filter(F.col("hamming") <= max_hamming)
+    )

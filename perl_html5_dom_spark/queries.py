@@ -1,0 +1,581 @@
+"""Query catalog: every operator surface exposed as a (Spark query,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Each Spark query callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; ``ORACLES[name]`` is ANSI-ish SQL DuckDB runs against the
+same parquet tables (views ``documents``/``embeddings`` pre-registered).
+Oracles are *independent derivations*: they recompute expected results
+from the deterministic page template (sources/pages.py) and plain
+arithmetic/SQL — never by running our parser.
+
+Column names and types are aligned on both sides (the driver hash
+compares after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup as dd
+from .operators import extract as ex
+from .operators import nodes as nd
+from .operators import selector_ops as so
+from .operators import similarity as sim
+from .operators import textstats as ts
+from .sources import pages as pg
+
+# ---------------------------------------------------------------------------
+# shared corpora
+# ---------------------------------------------------------------------------
+
+#: dedup corpus: originals + exact copies (id%5==0) + near-copies (id%3==0)
+#: — same SQL text runs in Spark and DuckDB
+CORPUS_SQL = (
+    "select doc_id, text from documents "
+    "union all select doc_id + 100000 as doc_id, text from documents "
+    "where doc_id % 5 = 0 "
+    "union all select doc_id + 200000 as doc_id, text || ' zz yy xx' as text "
+    "from documents where doc_id % 3 = 0"
+)
+
+URL = "'https://example.org/doc/' || cast(doc_id as varchar)"
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pg.pages_df(spark, sf_dir)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(CORPUS_SQL)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+PAGES_CTE = "with pages as (" + pg.pages_cte() + ")"
+
+
+# ---------------------------------------------------------------------------
+# HTML engine queries
+# ---------------------------------------------------------------------------
+
+def q_extract_main_text(spark, sf_dir):
+    """North-star query: boilerplate-stripped main content per url —
+    byte-identical to the source text by construction."""
+    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "main_text")
+
+
+def q_extract_title(spark, sf_dir):
+    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "title")
+
+
+def q_extract_text_content(spark, sf_dir):
+    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "text_content")
+
+
+def q_extract_inner_text(spark, sf_dir):
+    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "inner_text")
+
+
+def q_link_spans(spark, sf_dir):
+    return (
+        ex.extract_pages(_pages(spark, sf_dir))
+        .selectExpr("url", "explode(spans) as s")
+        .selectExpr("url", "cast(s.begin as bigint) as begin",
+                    "cast(s.length as bigint) as length")
+    )
+
+
+def q_link_count(spark, sf_dir):
+    return (
+        so.css_find(_pages(spark, sf_dir), "a[href]")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+
+
+def q_node_counts(spark, sf_dir):
+    return ex.extract_pages(_pages(spark, sf_dir)).select(
+        "url", "n_nodes", "n_elements")
+
+
+def q_tag_histogram(spark, sf_dir):
+    return (
+        nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+        .groupBy("tag").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_ref_link_count(spark, sf_dir):
+    return (
+        so.css_find(_pages(spark, sf_dir), "article > a.ref")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+
+
+def q_nth_child_odd_li(spark, sf_dir):
+    return (
+        so.css_find(_pages(spark, sf_dir), "li:nth-child(odd)")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_css_has(spark, sf_dir):
+    return (
+        so.css_find(_pages(spark, sf_dir), "article:has(a.ref)")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_css_contains(spark, sf_dir):
+    return (
+        so.css_find(_pages(spark, sf_dir), "article p:contains(spark)")
+        .select("url").distinct()
+    )
+
+
+def q_attr_prefix_https(spark, sf_dir):
+    """Lowered fast path: single-compound selector → Column predicates
+    (no Python matcher in the plan)."""
+    nodes = nd.nodes_df(_pages(spark, sf_dir))
+    return (
+        so.css_find_nodes(nodes, "a[href^='https://']")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_parent_child_counts(spark, sf_dir):
+    """Relational structural join: child.parent_id == parent.node_id."""
+    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+    child = nodes.select("url", "parent_id")
+    parent = nodes.select(
+        "url", F.col("node_id").alias("parent_id"), F.col("tag").alias("parent_tag"))
+    return (
+        child.join(parent, ["url", "parent_id"])
+        .filter(F.col("parent_tag").isin("article", "nav", "ul"))
+        .groupBy("parent_tag").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_li_sibling_positions(spark, sf_dir):
+    """Window analog of :nth-child — sibling index via row_number."""
+    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+    w = Window.partitionBy("url", "parent_id").orderBy("node_id")
+    return (
+        nodes.filter(F.col("tag") == "li")
+        .withColumn("pos", F.row_number().over(w))
+        .groupBy("url").agg(F.max("pos").cast("bigint").alias("n_li"))
+    )
+
+
+def q_first_link_begin(spark, sf_dir):
+    """at() semantics: first match in document order, early exit."""
+    return so.css_at(_pages(spark, sf_dir), "a[href]").selectExpr(
+        "url", "cast(begin as bigint) as begin")
+
+
+def q_detect_encoding(spark, sf_dir):
+    return pg.encoded_pages_df(spark, sf_dir).select("url", "html").mapInPandas(
+        _detect_encoding_kernel, schema="url string, encoding string")
+
+
+def _detect_encoding_kernel(batches):
+    import pandas as pd
+
+    from .dom import encoding as enc
+
+    for pdf in batches:
+        out = {"url": [], "encoding": []}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            out["url"].append(url)
+            out["encoding"].append(enc.sniff_and_decode(bytes(html))[0])
+        yield pd.DataFrame(out)
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column → typed metadata via
+    Arrow-batched kernel (magic sniff + size)."""
+    return pg.encoded_pages_df(spark, sf_dir).select("url", "html").mapInPandas(
+        _binary_meta_kernel, schema="url string, n_bytes bigint, kind string")
+
+
+def _binary_meta_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"url": [], "n_bytes": [], "kind": []}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            b = bytes(html)
+            if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                kind = "utf16-bom"
+            elif b[:9] == b"<!DOCTYPE":
+                kind = "html"
+            else:
+                kind = "unknown"
+            out["url"].append(url)
+            out["n_bytes"].append(len(b))
+            out["kind"].append(kind)
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Image-decode stub: deterministic fake image assets; the Spark-side
+    plumbing (binary col, Arrow batches, typed metadata out) is real, the
+    pixel decode is stubbed (no imaging libs in this container)."""
+    _views(spark, sf_dir)
+    assets = spark.sql("select doc_id from documents").mapInPandas(
+        _fake_image_kernel, schema="doc_id bigint, image binary")
+    return assets.mapInPandas(
+        _decode_image_kernel,
+        schema="doc_id bigint, width bigint, height bigint, n_bytes bigint")
+
+
+def _fake_image_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "image": []}
+        for did in pdf["doc_id"]:
+            did = int(did)
+            w, h = did % 640 + 1, did % 480 + 1
+            header = f"FAKEIMG1;w={w};h={h};".encode()
+            out["doc_id"].append(did)
+            out["image"].append(header + b"\x00" * (did % 256))
+        yield pd.DataFrame(out)
+
+
+def _decode_image_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "n_bytes": []}
+        for did, img in zip(pdf["doc_id"], pdf["image"]):
+            b = bytes(img)
+            if not b.startswith(b"FAKEIMG1;"):
+                raise NotImplementedError(
+                    "real image decode needs an imaging lib (stubbed)")
+            fields = dict(p.decode().split("=") for p in b.split(b";")[1:3])
+            out["doc_id"].append(int(did))
+            out["width"].append(int(fields["w"]))
+            out["height"].append(int(fields["h"]))
+            out["n_bytes"].append(len(b))
+        yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis / similarity queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_corpus(spark, sf_dir)).select(
+        "text_md5", F.col("n_copies").cast("bigint").alias("n_copies"), "keeper_id")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dd.jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_near_dups(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_near_dups(_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_lang_id(spark, sf_dir):
+    _views(spark, sf_dir)
+    return ts.lang_id(spark.table("documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    _views(spark, sf_dir)
+    return ts.quality_scores(spark.table("documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    _views(spark, sf_dir)
+    return ts.token_counts(spark.table("documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    _views(spark, sf_dir)
+    return ts.fingerprints(spark.table("documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    return sim.brute_force_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_cosine_near_dups(spark, sf_dir):
+    return sim.cosine_near_dups(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    # approximate — rows-only check (no SQL oracle), by design
+    return sim.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+QUERIES = {
+    "extract_main_text": q_extract_main_text,
+    "extract_title": q_extract_title,
+    "extract_text_content": q_extract_text_content,
+    "extract_inner_text": q_extract_inner_text,
+    "link_spans": q_link_spans,
+    "link_count": q_link_count,
+    "node_counts": q_node_counts,
+    "tag_histogram": q_tag_histogram,
+    "ref_link_count": q_ref_link_count,
+    "nth_child_odd_li": q_nth_child_odd_li,
+    "css_has": q_css_has,
+    "css_contains": q_css_contains,
+    "attr_prefix_https": q_attr_prefix_https,
+    "parent_child_counts": q_parent_child_counts,
+    "li_sibling_positions": q_li_sibling_positions,
+    "first_link_begin": q_first_link_begin,
+    "detect_encoding": q_detect_encoding,
+    "binary_meta": q_binary_meta,
+    "multimodal_meta": q_multimodal_meta,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "ann_topk": q_ann_topk,
+    "cosine_near_dups": q_cosine_near_dups,
+    "ann_topk_lsh": q_ann_topk_lsh,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+NL = "chr(10)"
+_DH = "cast(('0x' || substr(md5({s}), 1, 15)) as bigint)"  # H() in DuckDB
+_P = dd.P
+
+_DUCK_SHINGLES = (
+    "select doc_id, unnest(list_distinct(case when len(t) >= 3 then "
+    "list_transform(generate_series(1, len(t) - 2), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "else [text] end)) as shingle "
+    "from (select doc_id, text, string_split(text, ' ') as t from corpus)"
+)
+
+_PERM_VALUES = ", ".join(
+    f"({j}, {dd.perm_params(j)[0]}, {dd.perm_params(j)[1]})" for j in range(16))
+
+_JACCARD_TAIL = (
+    "sizes as (select doc_id, count(*) as n from sh group by doc_id), "
+    "inter as (select x.doc_id as a, y.doc_id as b, count(*) as inter "
+    " from sh x join sh y on x.shingle = y.shingle and x.doc_id < y.doc_id "
+    "{cand_join} group by 1, 2) "
+    "select a, b, round(inter / (sa.n + sb.n - inter), 6) as jaccard "
+    "from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b "
+    "where inter / (sa.n + sb.n - inter) >= 0.5"
+)
+
+ORACLES: dict[str, str] = {
+    "extract_main_text":
+        f"{PAGES_CTE} select url, text as main_text from pages",
+    "extract_title":
+        f"{PAGES_CTE} select url, 'Doc ' || cast(doc_id as varchar) as title from pages",
+    "extract_text_content":
+        f"{PAGES_CTE} select url, 'Home AboutDoc ' || cast(doc_id as varchar) || text "
+        f"|| repeat('ref', doc_id % 5) || repeat('item', doc_id % 3 + 1) "
+        f"|| '(c) example.org' as text_content from pages",
+    "extract_inner_text":
+        f"{PAGES_CTE} select url, 'Home About' || {NL} || 'Doc ' || cast(doc_id as varchar) "
+        f"|| {NL} || text || {NL} || {NL} "
+        f"|| case when doc_id % 5 > 0 then repeat('ref', doc_id % 5) || {NL} else '' end "
+        f"|| repeat('item', doc_id % 3 + 1) || {NL} || '(c) example.org' || {NL} || {NL} "
+        f"as inner_text from pages",
+    "link_spans":
+        f"{PAGES_CTE}, L as (select *, length(cast(doc_id as varchar)) as lid, "
+        f" strpos(html_str, '<a href=\"/\">') - 1 as nav1, "
+        f" strpos(html_str, '<a href=\"/about\">') - 1 as nav2, "
+        f" strpos(html_str, '<a class=\"ref\"') - 1 as ref0 from pages) "
+        f"select url, cast(begin as bigint) as begin, cast(length as bigint) as length from ("
+        f" select url, nav1 as begin, 12 as length from L "
+        f" union all select url, nav2, 17 from L "
+        f" union all select url, ref0 + (k - 1) * (50 + lid), 43 + lid from "
+        f"  (select url, ref0, lid, unnest(generate_series(1, doc_id % 5)) as k from L))",
+    "link_count":
+        f"{PAGES_CTE} select url, cast(2 + doc_id % 5 as bigint) as n_links from pages",
+    "node_counts":
+        f"{PAGES_CTE} select url, "
+        f"cast(28 + 2 * (doc_id % 5) + 2 * (doc_id % 3) as bigint) as n_nodes, "
+        f"cast(18 + doc_id % 5 + doc_id % 3 as bigint) as n_elements from pages",
+    "tag_histogram":
+        "with n as (select cast(count(*) as bigint) as c, "
+        " cast(sum(doc_id % 5) as bigint) as ref_a, "
+        " cast(sum(doc_id % 3 + 1) as bigint) as li from documents) "
+        "select tag, n from ("
+        " select 'a' as tag, 2 * c + ref_a as n from n"
+        " union all select 'li', li from n"
+        " union all select 'p', 2 * c from n"
+        " union all select t.tag, c from n, (select unnest(["
+        "  'html','head','meta','title','body','header','nav','main',"
+        "  'article','h1','aside','ul','footer']) as tag) t)",
+    "ref_link_count":
+        f"{PAGES_CTE} select url, cast(doc_id % 5 as bigint) as n_ref "
+        f"from pages where doc_id % 5 > 0",
+    "nth_child_odd_li":
+        f"{PAGES_CTE} select url, cast(floor((doc_id % 3 + 2) / 2.0) as bigint) as n "
+        f"from pages",
+    "css_has":
+        "select cast(count(*) as bigint) as n from documents where doc_id % 5 > 0",
+    "css_contains":
+        f"select {URL} as url from documents "
+        "where text like '%spark%' or text = 'spark'",
+    "attr_prefix_https":
+        f"{PAGES_CTE} select url, cast(doc_id % 5 as bigint) as n "
+        f"from pages where doc_id % 5 > 0",
+    "parent_child_counts":
+        "with n as (select count(*) as c, sum(doc_id % 5) as ref_a, "
+        " sum(doc_id % 3 + 1) as li from documents) "
+        "select parent_tag, cast(n as bigint) as n from ("
+        " select 'article' as parent_tag, 2 * c + ref_a as n from n"
+        " union all select 'nav', 2 * c from n"
+        " union all select 'ul', li from n)",
+    "li_sibling_positions":
+        f"{PAGES_CTE} select url, cast(doc_id % 3 + 1 as bigint) as n_li from pages",
+    "first_link_begin":
+        f"{PAGES_CTE} select url, cast(strpos(html_str, '<a href=\"/\">') - 1 as bigint) "
+        f"as begin from pages",
+    "detect_encoding":
+        f"{PAGES_CTE} select url, case doc_id % 4 when 0 then 'UTF-8' "
+        f"when 1 then 'WINDOWS-1251' when 2 then 'KOI8-R' else 'UTF-16LE' end "
+        f"as encoding from pages",
+    "binary_meta":
+        f"{PAGES_CTE} select url, cast(case doc_id % 4 "
+        f"when 0 then length(html_str) "
+        f"when 1 then length(html_str) + 7 "   # utf-8 -> windows-1251 in meta
+        f"when 2 then length(html_str) + 1 "   # utf-8 -> koi8-r in meta
+        f"else 2 * length(html_str) + 2 end as bigint) as n_bytes, "
+        f"case when doc_id % 4 = 3 then 'utf16-bom' else 'html' end as kind from pages",
+    "multimodal_meta":
+        "select doc_id, cast(doc_id % 640 + 1 as bigint) as width, "
+        "cast(doc_id % 480 + 1 as bigint) as height, "
+        "cast(15 + length(cast(doc_id % 640 + 1 as varchar)) "
+        " + length(cast(doc_id % 480 + 1 as varchar)) + doc_id % 256 as bigint) "
+        "as n_bytes from documents",
+    "dedup_exact":
+        f"with corpus as ({CORPUS_SQL}) "
+        "select md5(text) as text_md5, cast(count(*) as bigint) as n_copies, "
+        "min(doc_id) as keeper_id from corpus group by 1 having count(*) > 1",
+    "dedup_jaccard":
+        f"with corpus as ({CORPUS_SQL}), sh as ({_DUCK_SHINGLES}), "
+        + _JACCARD_TAIL.format(cand_join=""),
+    "dedup_minhash_lsh":
+        f"with corpus as ({CORPUS_SQL}), sh as ({_DUCK_SHINGLES}), "
+        f"hs as (select doc_id, {_DH.format(s='shingle')} % {_P} as hs from sh), "
+        f"perms as (select * from (values {_PERM_VALUES}) v(j, a, b)), "
+        f"sig as (select doc_id, j, min((a * hs + b) % {_P}) as mh "
+        f" from hs, perms group by 1, 2), "
+        f"band as (select doc_id, j // 4 as band, sum(mh * (j + 1)) as bk1, "
+        f" sum(mh) as bk2 from sig group by 1, 2), "
+        f"cand as (select distinct l.doc_id as a, r.doc_id as b from band l "
+        f" join band r using (band, bk1, bk2) where l.doc_id < r.doc_id), "
+        + _JACCARD_TAIL.format(
+            cand_join="join cand on cand.a = x.doc_id and cand.b = y.doc_id"),
+    "dedup_simhash":
+        f"with corpus as ({CORPUS_SQL}), "
+        "tokw as (select doc_id, tok, count(*) as w from "
+        " (select doc_id, unnest(string_split(text, ' ')) as tok from corpus) "
+        " group by 1, 2), "
+        f"hb as (select doc_id, w, {_DH.format(s='tok')} as ht from tokw), "
+        "bits as (select doc_id, b, sum(case when (ht >> b) & 1 = 1 then w else -w end) as s "
+        " from hb, generate_series(0, 31) g(b) group by 1, 2), "
+        "sim as (select doc_id, cast(sum(case when s > 0 then (cast(1 as bigint) << b) "
+        " else 0 end) as bigint) as simhash from bits group by 1), "
+        "ch as (select doc_id, simhash, c, (simhash >> (c * 8)) & 255 as chunk "
+        " from sim, generate_series(0, 3) g(c)), "
+        "pairs as (select distinct l.doc_id as a, r.doc_id as b, "
+        " l.simhash as ha, r.simhash as hb2 from ch l join ch r using (c, chunk) "
+        " where l.doc_id < r.doc_id) "
+        "select a, b, cast(bit_count(xor(ha, hb2)) as bigint) as hamming "
+        "from pairs where bit_count(xor(ha, hb2)) <= 3",
+    "lang_id": None,        # built below (shared marker sets)
+    "quality_scores": None,  # built below
+    "token_counts":
+        "select doc_id, cast(len(string_split(text, ' ')) as bigint) as ws_tokens, "
+        "cast(list_sum(list_transform(string_split(text, ' '), "
+        " t -> cast(ceil(length(t) / 4.0) as bigint))) as bigint) as bpe_ish_tokens "
+        "from documents",
+    "fingerprints":
+        f"select doc_id, cast(list_reduce(list_transform(string_split(text, ' '), "
+        f"t -> {_DH.format(s='t')} % {_P}), (a, h) -> (a * 31 + h) % {_P}) as bigint) "
+        f"as fingerprint from documents",
+    "ann_topk":
+        "with q as (select vec_id as query_id, embedding as qv from embeddings "
+        " where vec_id in (0, 1, 2)), "
+        "scored as (select query_id, vec_id, round("
+        " list_sum(list_transform(generate_series(1, len(qv)), "
+        "  i -> qv[i]::double * embedding[i]::double)) / "
+        " (sqrt(list_sum(list_transform(qv, x -> x::double * x::double))) * "
+        "  sqrt(list_sum(list_transform(embedding, x -> x::double * x::double)))), 6) "
+        " as cosine from q, embeddings where vec_id <> query_id) "
+        "select query_id, cast(rank as bigint) as rank, vec_id, cosine from ("
+        " select *, row_number() over (partition by query_id "
+        "  order by cosine desc, vec_id) as rank from scored) where rank <= 5",
+    "cosine_near_dups":
+        "with p as (select a.vec_id as a, b.vec_id as b, round("
+        " list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "  i -> a.embedding[i]::double * b.embedding[i]::double)) / "
+        " (sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double))) * "
+        "  sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 6) "
+        " as cosine from embeddings a join embeddings b on a.vec_id < b.vec_id) "
+        "select a, b, cosine from p where cosine >= 0.3",
+}
+
+# lang_id oracle from the same marker table
+_lang_cases = []
+_hit_exprs = {}
+for _lang in sorted(ts.LANG_MARKERS):
+    _arr = ", ".join(f"'{w}'" for w in ts.LANG_MARKERS[_lang])
+    _hit_exprs[_lang] = (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{_arr}], t)))"
+    )
+_best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(ts.LANG_MARKERS)) + ")"
+_pick = "case when " + _best + " = 0 then 'und' "
+for _lang in sorted(ts.LANG_MARKERS):
+    _pick += f"when h_{_lang} = {_best} then '{_lang}' "
+_pick += "end"
+ORACLES["lang_id"] = (
+    "with h as (select doc_id, "
+    + ", ".join(f"{e} as h_{l}" for l, e in _hit_exprs.items())
+    + " from documents) "
+    f"select doc_id, {_pick} as lang_pred, cast({_best} as bigint) as lang_hits from h"
+)
+
+_stop_en = _hit_exprs["en"]
+# mirrors textstats.quality_scores exactly: ratio columns rounded first,
+# composite computed FROM the rounded columns
+ORACLES["quality_scores"] = (
+    "with b as (select doc_id, text, length(text) as nc, "
+    " len(string_split(text, ' ')) as nt, "
+    f" {_stop_en} as stop_hits from documents), "
+    "r as (select doc_id, cast(nc as bigint) as n_chars, "
+    " cast(nt as bigint) as n_tokens, "
+    " round((nc - nt + 1) / nt, 6) as avg_token_len, "
+    " round(stop_hits / nt, 6) as stopword_ratio, "
+    " round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / nc, 6) as alpha_ratio "
+    " from b) "
+    "select *, round(least(n_tokens / 20.0, 1.0) * 0.25 "
+    " + (case when avg_token_len between 2 and 12 then 0.25 else 0.0 end) "
+    " + least(stopword_ratio * 5.0, 1.0) * 0.25 "
+    " + alpha_ratio * 0.25, 6) as quality from r"
+)

@@ -133,3 +133,45 @@ def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = No
 def pages_cte(docs_rel: str = DOCUMENTS, replicate: int = 1) -> str:
     """DuckDB CTE body regenerating the same pages relation for oracles."""
     return pages_select_sql(DUCK, docs_rel, replicate)
+
+
+#: encoding variant per doc_id % 4 — exercises the sniffing pipeline
+#: (meta prescan for 1/2, BOM for 3; reference utils.c:620-649 order)
+ENCODING_VARIANTS = ["utf-8", "windows-1251", "koi8-r", "utf-16-le"]
+
+
+def encoded_pages_df(spark, sf_dir: str):
+    """Pages with html bytes in rotating encodings (doc_id % 4):
+    utf-8 | windows-1251 (meta rewritten) | koi8-r (meta rewritten) |
+    utf-16-le with BOM.  Byte encoding happens in the Arrow kernel —
+    Spark's ``encode()`` only supports unicode charsets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(pages_select_sql(SPARK, "__docs_src"))
+
+    def run(batches):
+        import codecs
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "url": [], "html": []}
+            for did, url, s in zip(pdf["doc_id"], pdf["url"], pdf["html_str"]):
+                v = int(did) % 4
+                if v == 1:
+                    b = s.replace('charset="utf-8"', 'charset="windows-1251"')\
+                        .encode("windows-1251")
+                elif v == 2:
+                    b = s.replace('charset="utf-8"', 'charset="koi8-r"')\
+                        .encode("koi8-r")
+                elif v == 3:
+                    b = codecs.BOM_UTF16_LE + s.encode("utf-16-le")
+                else:
+                    b = s.encode("utf-8")
+                out["doc_id"].append(int(did))
+                out["url"].append(url)
+                out["html"].append(b)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "url", "html_str").mapInPandas(
+        run, schema="doc_id bigint, url string, html binary")
