@@ -28,7 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
     main text + link spans; exact_match must be true for every row
     (byte-identical extracted text per url — BASELINE.json north_rule)."""
     pages = pages_df(spark, "/root/testdata/sf0.001")
-    out = extract_pages(pages, span_selector="a[href]")
+    out = extract_pages(pages, span_selector="a[href]",
+                        fields=["url", "title", "main_text", "n_nodes", "spans"])
     src = pages.select("url", "text")
     return (
         out.join(src, "url")

@@ -1,0 +1,110 @@
+"""Headline benchmark: extraction throughput + operator suite timings.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs": N,
+   "docs_per_sec": X, "cpus": C}
+
+The page corpus is fanned out deterministically (replicate, see
+sources/pages.py) so the parse kernel — the 100 TB bottleneck — gets a
+measurable workload; REPLICATE=8 → 8×docs urls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .appName("bench").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from perl_html5_dom_spark.operators import dedup, nodes, selector_ops, similarity
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.queries import CORPUS_SQL
+    from perl_html5_dom_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, sf_dir, replicate=replicate, partitions=cpus * 2)
+    pages = pages.persist()
+    n_docs = pages.count()
+
+    # warm the Python workers (daemon fork + pandas/pyarrow import) so
+    # timings measure steady-state throughput, not one-time spin-up
+    def _noop(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+    pages.select("url", "html").mapInPandas(_noop, "n long").count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: the north-star extraction — parse + boilerplate strip + spans
+    bench("extract", lambda: extract_pages(pages)
+          .agg(F.sum("n_nodes"), F.count("*")).collect())
+    # q2: selector kernel find
+    bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
+          .count())
+    # q3: node table explode + relational structural join
+    def _nodes_join():
+        nd = nodes.nodes_df(pages, elements_only=True,
+                            columns=["url", "node_id", "parent_id", "tag"])
+        child = nd.select("url", "parent_id")
+        parent = nd.select("url", F.col("node_id").alias("parent_id"),
+                           F.col("tag").alias("parent_tag"))
+        child.join(parent, ["url", "parent_id"]).groupBy("parent_tag").count().collect()
+    bench("nodes_join", _nodes_join)
+    # q4/q5: dedup over the documents corpus (with synthetic dup tails)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents")
+    corpus = spark.sql(CORPUS_SQL).repartition(cpus).persist()
+    corpus.count()
+    bench("dedup_minhash", lambda: dedup.minhash_near_dups(corpus, 0.5).count())
+    bench("dedup_simhash", lambda: dedup.simhash_near_dups(corpus, 3).count())
+    # q6: ANN top-k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench("ann_topk", lambda: similarity.brute_force_topk(
+        emb, [0, 1, 2], k=5).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+ops suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["extract"], 1),
+        "cpus": cpus,
+        "replicate": replicate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

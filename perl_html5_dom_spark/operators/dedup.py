@@ -62,6 +62,15 @@ def _shingles(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """persist + eager count: a DataFrame reused on both sides of a
+    self-join must be materialized BEFORE the join, or both sides race
+    to fill the cache and the upstream tree runs twice."""
+    df = df.persist()
+    df.count()
+    return df
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate groups by full-text digest: (text_md5, n_copies,
     keeper_id) for groups with >1 member; keeper = smallest doc_id."""
@@ -107,6 +116,7 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
             F.sum(F.expr("mh")).alias("bk2"),
         )
     )
+    buckets = _materialize(buckets)  # self-joined below
     l, r = buckets.alias("l"), buckets.alias("r")
     return (
         l.join(r, ["band", "bk1", "bk2"])
@@ -124,7 +134,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
     equi-join generates every candidate.  ``max_df`` drops stop-shingles
     (doc frequency cap) — the standard scale cut; leave None for exact
     small-scale/oracle runs."""
-    sh = _shingles(docs, k)
+    sh = _materialize(_shingles(docs, k))  # sizes + both join sides
     if max_df is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
         sh = sh.join(keep.select("shingle"), "shingle")
@@ -148,14 +158,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
                       num_perm: int = 16, bands: int = 4, k: int = 3) -> DataFrame:
     """LSH candidates → exact Jaccard verification (a, b, jaccard)."""
-    cand = lsh_candidate_pairs(docs, num_perm, bands, k)
-    sh = _shingles(docs, k)
+    cand = _materialize(lsh_candidate_pairs(docs, num_perm, bands, k))
+    sh = _materialize(_shingles(docs, k))  # sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # equi-join on (doc, shingle) both sides — never |A|x|B| per pair
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingle", "s2"),
-              "b")
-        .filter(F.col("shingle") == F.col("s2"))
+        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
@@ -209,6 +218,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     keyed = sh.join(F.broadcast(cids)).selectExpr(
         "doc_id", "simhash", "c",
         f"shiftright(simhash, c * {width}) & {mask} as chunk")
+    keyed = _materialize(keyed)
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(r, ["c", "chunk"])

@@ -183,38 +183,62 @@ def parse_document(html, parser_encoding: str | None = None) -> Document:
     return doc
 
 
-def extract_one(html, span_selector=None) -> dict:
+_FIELD_TYPES = {
+    "url": "string", "encoding": "string", "title": "string",
+    "main_text": "string", "inner_text": "string", "text_content": "string",
+    "n_nodes": "bigint", "n_elements": "bigint",
+    "spans": "array<struct<node_id: bigint, begin: bigint, length: bigint>>",
+}
+ALL_FIELDS = tuple(_FIELD_TYPES)
+
+
+def extract_one(html, span_selector=None, fields: tuple = ALL_FIELDS) -> dict:
+    """Per-document kernel; computes ONLY the requested fields — the
+    in-kernel analog of column pruning (a 100 TB run that wants
+    (url, main_text, spans) must not pay for three extra text renders
+    and their Arrow return bytes)."""
     doc = parse_document(html)
-    title_nid = matcher.at(doc, "title")
-    title = serializer.text_content(doc, title_nid) if title_nid != -1 else ""
+    out: dict = {}
+    if "encoding" in fields:
+        out["encoding"] = doc.encoding
+    if "title" in fields:
+        nid = matcher.at(doc, "title")
+        out["title"] = serializer.text_content(doc, nid) if nid != -1 else ""
     body = doc.body_node if doc.body_node != -1 else doc.root
-    spans = []
-    if span_selector is not None:
-        for nid in matcher.find(doc, span_selector):
-            # full open-tag span (reference "element" position,
-            # DOM.xs:2161-2172); raw_* (tag-name region) stays available
-            # on the node table (operators/nodes.py)
-            spans.append((nid, doc.elem_begin[nid], doc.elem_length[nid]))
-    n_elem = sum(1 for t in doc.node_type if t == ELEMENT_NODE)
-    return {
-        "encoding": doc.encoding,
-        "title": title,
-        "main_text": main_text(doc),
-        "inner_text": innertext.inner_text(doc, body),
-        "text_content": serializer.text_content(doc, body),
-        "n_nodes": len(doc.parent),
-        "n_elements": n_elem,
-        "spans": spans,
-    }
+    if "main_text" in fields:
+        out["main_text"] = main_text(doc)
+    if "inner_text" in fields:
+        out["inner_text"] = innertext.inner_text(doc, body)
+    if "text_content" in fields:
+        out["text_content"] = serializer.text_content(doc, body)
+    if "n_nodes" in fields:
+        out["n_nodes"] = len(doc.parent)
+    if "n_elements" in fields:
+        out["n_elements"] = sum(1 for t in doc.node_type if t == ELEMENT_NODE)
+    if "spans" in fields:
+        spans = []
+        if span_selector is not None:
+            for nid in matcher.find(doc, span_selector):
+                # full open-tag span (reference "element" position,
+                # DOM.xs:2161-2172); raw_* (tag-name region) stays on the
+                # node table (operators/nodes.py)
+                spans.append((nid, doc.elem_begin[nid], doc.elem_length[nid]))
+        out["spans"] = spans
+    return out
 
 
-def extract_pages(df, span_selector: str | None = "a[href]"):
-    """DataFrame(url, html [, ...]) → DataFrame(EXTRACT_SCHEMA).
+def extract_pages(df, span_selector: str | None = "a[href]",
+                  fields: tuple | list | None = None):
+    """DataFrame(url, html [, ...]) → DataFrame of requested fields
+    (default: EXTRACT_SCHEMA).
 
     The selector is compiled ONCE here on the driver; the compiled plan
     rides the task closure to every executor (reference precompiled
     selectors, DOM.pod:2544-2551).
     """
+    fields = tuple(f for f in (fields or ALL_FIELDS) if f != "url")
+    schema = "url string, " + ", ".join(
+        f"{f} {_FIELD_TYPES[f]}" for f in fields)
     compiled = (
         matcher.compile_selector(span_selector) if span_selector else None
     )
@@ -223,14 +247,12 @@ def extract_pages(df, span_selector: str | None = "a[href]"):
         import pandas as pd
 
         for pdf in batches:
-            out = {k: [] for k in (
-                "url", "encoding", "title", "main_text", "inner_text",
-                "text_content", "n_nodes", "n_elements", "spans")}
+            out = {k: [] for k in ("url",) + fields}
             for url, html in zip(pdf["url"], pdf["html"]):
-                r = extract_one(html, compiled)
+                r = extract_one(html, compiled, fields)
                 out["url"].append(url)
-                for k, v in r.items():
-                    out[k].append(v)
+                for k in fields:
+                    out[k].append(r[k])
             yield pd.DataFrame(out)
 
-    return df.select("url", "html").mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return df.select("url", "html").mapInPandas(run, schema=schema)

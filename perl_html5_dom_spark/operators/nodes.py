@@ -58,8 +58,21 @@ def doc_node_rows(url: str, html) -> list[tuple]:
     return rows
 
 
-def nodes_df(df, elements_only: bool = False):
-    """DataFrame(url, html) → node table (NODES_SCHEMA)."""
+def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
+    """DataFrame(url, html) → node table.
+
+    ``columns`` prunes the output inside the kernel (the analog of the
+    reference's lazy node materialization, DOM.xs:159-180): structural
+    queries that never read ``attrs``/``text`` skip building the
+    expensive map/string Arrow columns entirely."""
+    if columns is None:
+        cols, schema = _COLS, NODES_SCHEMA
+    else:
+        keep = [c for c in _COLS if c in set(columns) | {"url"}]
+        idx = [_COLS.index(c) for c in keep]
+        cols = keep
+        schema = ", ".join(
+            p for p in NODES_SCHEMA.split(", ") if p.split(" ")[0] in keep)
 
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
@@ -70,7 +83,9 @@ def nodes_df(df, elements_only: bool = False):
                 r = doc_node_rows(url, html)
                 if elements_only:
                     r = [t for t in r if t[8] == ELEMENT_NODE]
+                if columns is not None:
+                    r = [tuple(t[i] for i in idx) for t in r]
                 rows.extend(r)
-            yield pd.DataFrame(rows, columns=_COLS)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select("url", "html").mapInPandas(run, schema=NODES_SCHEMA)
+    return df.select("url", "html").mapInPandas(run, schema=schema)

@@ -1,0 +1,122 @@
+"""Scale mechanics for the 10^12-document extraction pipeline
+(BASELINE.json north_rule): salted repartitioning for skewed giant
+documents, per-partition lineage rows + metrics, and checkpoint-based
+resume that replays only missing url ranges.
+
+Everything is plain DataFrame ops — no custom Catalyst rules needed
+(SURVEY.md §4): the cost lives in one explicit shuffle (the salt) and
+idempotent parquet writes (write-audit-publish per batch).
+
+At 100 TB:
+  * ``salted_repartition`` breaks both url-hash hotspots and the
+    giant-document skew (a 500 MB page must not serialize a straggler
+    partition — the size bucket spreads heavy rows over the salt space).
+  * lineage rows are tiny (one per partition) and appended to a lineage
+    table; ``resume_filter`` anti-joins completed buckets so a restarted
+    job re-reads only missing work — idempotent under retries because a
+    bucket is recorded only after its output commit.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: html size (bytes) above which a document is "giant" and gets its own
+#: salt stripe so a handful of huge pages can't straggle one task
+GIANT_HTML_BYTES = 4 << 20
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       salt_buckets: int = 16,
+                       url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Repartition pages by salted url-hash.
+
+    partition key = xxhash64(url) spread over ``salt_buckets`` stripes,
+    with giant documents additionally striped by their size bucket so
+    co-located heavy rows split apart.  Deterministic (no rand()) —
+    replays produce identical placement, which resume relies on."""
+    salt = (
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+        + F.when(F.length(F.col(html_col)) > GIANT_HTML_BYTES,
+                 F.pmod(F.length(F.col(html_col)), F.lit(salt_buckets)))
+        .otherwise(F.lit(0))
+    )
+    return df.repartition(num_partitions, F.xxhash64(F.col(url_col)), salt)
+
+
+def bucket_of(url_col="url", buckets: int = 1024):
+    """Stable work-bucket id for lineage/resume (url-range analog)."""
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets)).cast("int")
+
+
+def extract_with_lineage(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    extract_fn: Callable[[DataFrame], DataFrame],
+    buckets: int = 64,
+    batch_buckets: int = 16,
+) -> dict:
+    """Checkpointed extraction: process work buckets in batches; after
+    each batch's output commit, append lineage rows (bucket, status,
+    n_urls, wall_s, ts).  A rerun with the same paths resumes from the
+    recorded lineage — only missing buckets are read and parsed.
+
+    Returns run metrics {processed_buckets, skipped_buckets, n_urls}.
+    """
+    pages = pages.withColumn("_bucket", bucket_of(buckets=buckets))
+    done = completed_buckets(spark, lineage_path)
+    todo = sorted(set(range(buckets)) - done)
+    processed = n_urls_total = 0
+    for i in range(0, len(todo), batch_buckets):
+        chunk = todo[i:i + batch_buckets]
+        t0 = time.time()
+        batch = pages.filter(F.col("_bucket").isin(chunk))
+        out = extract_fn(batch.drop("_bucket"))
+        # write-audit-publish: data first ...
+        out.write.mode("append").parquet(output_path)
+        n = out.sparkSession.read.parquet(output_path).count()  # audit read
+        wall = time.time() - t0
+        # ... lineage only after the data commit → idempotent resume
+        rows = [(int(b), "done", int(n), float(round(wall, 3)),
+                 float(time.time())) for b in chunk]
+        spark.createDataFrame(
+            rows, "bucket int, status string, n_rows bigint, wall_s double, ts double"
+        ).write.mode("append").parquet(lineage_path)
+        processed += len(chunk)
+        n_urls_total = n
+    return {
+        "processed_buckets": processed,
+        "skipped_buckets": len(done),
+        "n_urls": n_urls_total,
+    }
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> set[int]:
+    try:
+        lin = spark.read.parquet(lineage_path)
+    except Exception:
+        return set()
+    return {
+        r.bucket for r in
+        lin.filter(F.col("status") == "done").select("bucket").distinct().collect()
+    }
+
+
+def resume_filter(spark: SparkSession, pages: DataFrame,
+                  lineage_path: str, buckets: int = 64) -> DataFrame:
+    """Anti-join pages against completed lineage buckets (the scale form:
+    a broadcast anti-join on the tiny lineage side)."""
+    done = completed_buckets(spark, lineage_path)
+    if not done:
+        return pages
+    done_df = spark.createDataFrame([(b,) for b in sorted(done)], "_bucket int")
+    return (
+        pages.withColumn("_bucket", bucket_of(buckets=buckets))
+        .join(F.broadcast(done_df), "_bucket", "left_anti")
+        .drop("_bucket")
+    )

@@ -70,24 +70,28 @@ PAGES_CTE = "with pages as (" + pg.pages_cte() + ")"
 def q_extract_main_text(spark, sf_dir):
     """North-star query: boilerplate-stripped main content per url —
     byte-identical to the source text by construction."""
-    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "main_text")
+    return ex.extract_pages(_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "main_text"])
 
 
 def q_extract_title(spark, sf_dir):
-    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "title")
+    return ex.extract_pages(_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "title"])
 
 
 def q_extract_text_content(spark, sf_dir):
-    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "text_content")
+    return ex.extract_pages(_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "text_content"])
 
 
 def q_extract_inner_text(spark, sf_dir):
-    return ex.extract_pages(_pages(spark, sf_dir)).select("url", "inner_text")
+    return ex.extract_pages(_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "inner_text"])
 
 
 def q_link_spans(spark, sf_dir):
     return (
-        ex.extract_pages(_pages(spark, sf_dir))
+        ex.extract_pages(_pages(spark, sf_dir), fields=["url", "spans"])
         .selectExpr("url", "explode(spans) as s")
         .selectExpr("url", "cast(s.begin as bigint) as begin",
                     "cast(s.length as bigint) as length")
@@ -102,8 +106,8 @@ def q_link_count(spark, sf_dir):
 
 
 def q_node_counts(spark, sf_dir):
-    return ex.extract_pages(_pages(spark, sf_dir)).select(
-        "url", "n_nodes", "n_elements")
+    return ex.extract_pages(_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "n_nodes", "n_elements"])
 
 
 def q_tag_histogram(spark, sf_dir):
@@ -323,6 +327,19 @@ def q_ann_topk_lsh(spark, sf_dir):
     return sim.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2], k=5)
 
 
+def q_h1_text(spark, sf_dir):
+    """Collection text sink (Collection.pm:117-131 analog): per-match
+    scalar extraction via the kernel."""
+    return so.css_extract(_pages(spark, sf_dir), "h1", "text").select(
+        "url", "value")
+
+
+def q_h1_outer_html(spark, sf_dir):
+    """Serializer parity: outerHTML of each h1 (DOM.xs:1622-1633)."""
+    return so.css_extract(_pages(spark, sf_dir), "h1", "html").select(
+        "url", "value")
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -354,6 +371,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_near_dups": q_cosine_near_dups,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "h1_text": q_h1_text,
+    "h1_outer_html": q_h1_outer_html,
 }
 
 
@@ -507,6 +526,11 @@ ORACLES: dict[str, str] = {
         " where l.doc_id < r.doc_id) "
         "select a, b, cast(bit_count(xor(ha, hb2)) as bigint) as hamming "
         "from pairs where bit_count(xor(ha, hb2)) <= 3",
+    "h1_text":
+        f"{PAGES_CTE} select url, 'Doc ' || cast(doc_id as varchar) as value from pages",
+    "h1_outer_html":
+        f"{PAGES_CTE} select url, '<h1>Doc ' || cast(doc_id as varchar) || '</h1>' "
+        f"as value from pages",
     "lang_id": None,        # built below (shared marker sets)
     "quality_scores": None,  # built below
     "token_counts":

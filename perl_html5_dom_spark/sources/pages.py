@@ -115,9 +115,15 @@ def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = No
     scale this is the Iceberg ``pages`` table scan instead.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        # shuffle the narrow source rows (~300 B each), BEFORE the html
+        # template fan-out — at 100 TB this is the salted url-hash
+        # repartition of the Iceberg scan (plans/pipeline.py), never a
+        # shuffle of built page bytes
+        docs = docs.repartition(partitions, "doc_id")
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(pages_select_sql(SPARK, "__docs_src", replicate))
-    df = df.selectExpr(
+    return df.selectExpr(
         "doc_id",
         "url",
         "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id) as warc_ts",
@@ -125,9 +131,6 @@ def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = No
         "text",
         "lang",
     )
-    if partitions:
-        df = df.repartition(partitions, "url")
-    return df
 
 
 def pages_cte(docs_rel: str = DOCUMENTS, replicate: int = 1) -> str:

@@ -1,0 +1,49 @@
+"""Structured Streaming ingestion of page batches.
+
+The reference's streaming surface is chunked parse of one document
+(/root/reference/DOM.xs:814-931) — per SURVEY.md §2.9 the Spark analog
+is WARC-batch ingestion: ``readStream`` over arriving page files →
+the same extraction kernel → ``writeStream`` with checkpointing.  The
+kernel is identical to the batch path (mapInPandas works unchanged on
+streaming DataFrames); exactly-once lands on the sink's commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_pages
+
+PAGES_SCHEMA = (
+    "doc_id bigint, url string, warc_ts timestamp, html binary, "
+    "text string, lang string"
+)
+
+
+def read_page_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """Stream of page rows from parquet files landing in input_dir."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(pages: DataFrame, span_selector: str | None = "a[href]") -> DataFrame:
+    """Streaming extraction — same kernel as batch."""
+    return extract_pages(pages, span_selector=span_selector)
+
+
+def start_extraction(spark: SparkSession, input_dir: str, output_dir: str,
+                     checkpoint_dir: str, trigger_once: bool = True):
+    """File-sink pipeline with checkpoint-based exactly-once."""
+    q = (
+        extract_stream(read_page_stream(spark, input_dir))
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()

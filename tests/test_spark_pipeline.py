@@ -1,0 +1,151 @@
+"""Spark-level tests: extraction parity, selector strategies, dedup,
+lineage/resume, streaming — all on the deterministic sf0.001 corpus.
+
+Marked via the shared session fixture (conftest.py); pure-engine tests
+live in the other test modules and never start Spark.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from perl_html5_dom_spark.sources.pages import pages_df
+
+    return pages_df(spark, SF).persist()
+
+
+def test_extraction_byte_identical(spark, pages):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+
+    out = extract_pages(pages)
+    n = pages.count()
+    ok = (
+        out.join(pages.select("url", "text"), "url")
+        .filter(F.col("main_text") == F.col("text")).count()
+    )
+    assert ok == n
+
+
+def test_extract_spans_point_at_open_tags(spark, pages):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+
+    row = (
+        extract_pages(pages).join(pages.select("url", "html"), "url")
+        .filter(F.size("spans") > 2).first()
+    )
+    html = bytes(row.html).decode()
+    for s in row.spans:
+        frag = html[s.begin:s.begin + s.length]
+        assert frag.startswith("<a ") and frag.endswith(">")
+
+
+def test_selector_lowered_matches_kernel(spark, pages):
+    from perl_html5_dom_spark.operators.nodes import nodes_df
+    from perl_html5_dom_spark.operators.selector_ops import (
+        css_find, css_find_nodes)
+
+    nodes = nodes_df(pages).persist()
+    for sel in ["a", ".ref", "li.rel", "a[href^='https://']",
+                "article[id]", "[class~=widget]"]:
+        kernel = {(r.url, r.node_id) for r in css_find(pages, sel).collect()}
+        lowered = {(r.url, r.node_id) for r in css_find_nodes(nodes, sel).collect()}
+        assert kernel == lowered, sel
+    nodes.unpersist()
+
+
+def test_css_at_is_first_in_document_order(spark, pages):
+    from perl_html5_dom_spark.operators.selector_ops import css_at, css_find
+
+    allm = css_find(pages, "a[href]").groupBy("url").agg(
+        F.min("ord").alias("ord"))
+    first = css_at(pages, "a[href]").select("url", "ord")
+    assert allm.exceptAll(first).count() == 0
+
+
+def test_dedup_exact_groups(spark):
+    from perl_html5_dom_spark.operators.dedup import exact_duplicates
+    from perl_html5_dom_spark.queries import CORPUS_SQL
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents")
+    corpus = spark.sql(CORPUS_SQL)
+    groups = exact_duplicates(corpus).collect()
+    n_base = spark.table("documents").filter("doc_id % 5 = 0").count()
+    assert len(groups) == n_base
+    assert all(g.n_copies == 2 for g in groups)
+
+
+def test_lineage_resume(spark, pages, tmp_path):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.plans.pipeline import (
+        extract_with_lineage, resume_filter)
+
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    small = pages.limit(50)
+    m1 = extract_with_lineage(
+        spark, small, out, lin, lambda df: extract_pages(df, None),
+        buckets=8, batch_buckets=4)
+    assert m1["processed_buckets"] == 8 and m1["skipped_buckets"] == 0
+    assert spark.read.parquet(out).count() == 50
+    # resume: everything already recorded → nothing replays
+    m2 = extract_with_lineage(
+        spark, small, out, lin, lambda df: extract_pages(df, None),
+        buckets=8, batch_buckets=4)
+    assert m2["processed_buckets"] == 0 and m2["skipped_buckets"] == 8
+    assert spark.read.parquet(out).count() == 50  # no duplicates appended
+    assert resume_filter(spark, small, lin, buckets=8).count() == 0
+
+
+def test_salted_repartition_deterministic(spark, pages):
+    from perl_html5_dom_spark.plans.pipeline import salted_repartition
+
+    a = salted_repartition(pages, 16).withColumn(
+        "p", F.spark_partition_id())
+    b = salted_repartition(pages, 16).withColumn(
+        "p", F.spark_partition_id())
+    assert a.select("url", "p").exceptAll(b.select("url", "p")).count() == 0
+
+
+def test_streaming_extraction(spark, pages, tmp_path):
+    from perl_html5_dom_spark.streaming.ingest import start_extraction
+
+    src = str(tmp_path / "in")
+    pages.limit(40).write.parquet(src)
+    q = start_extraction(spark, src, str(tmp_path / "out"),
+                         str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 40
+    assert set(got.columns) >= {"url", "main_text", "spans"}
+
+
+def test_sql_function_registration(spark, pages):
+    from perl_html5_dom_spark.functions.register import register_all
+
+    register_all(spark)
+    pages.limit(20).createOrReplaceTempView("pages_v")
+    rows = spark.sql("""
+        select url,
+               css_text(html, 'title') as title,
+               css_count(html, 'a[href]') as n_links,
+               css_main_text(html) as main_text
+        from pages_v
+    """).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.title.startswith("Doc ")
+        assert r.n_links >= 2
+
+
+def test_nodes_column_pruning(spark, pages):
+    from perl_html5_dom_spark.operators.nodes import nodes_df
+
+    slim = nodes_df(pages.limit(5), elements_only=True,
+                    columns=["url", "node_id", "parent_id", "tag"])
+    assert slim.columns == ["url", "node_id", "parent_id", "tag"]
+    full = nodes_df(pages.limit(5), elements_only=True)
+    assert slim.count() == full.count()
