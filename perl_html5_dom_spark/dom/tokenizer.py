@@ -35,6 +35,20 @@ _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c />=][^\t\n\x0c />=]*|=+[^\t\n\x0c />=]*"
 _UNQUOTED_VAL_RE = re.compile(r"[^\t\n\x0c >]*")
 _DOCTYPE_RE = re.compile(r"doctype", re.IGNORECASE)
 
+# -- fast paths: whole-tag regexes compiled to C --------------------------
+# Conservative shapes whose semantics are EXACTLY the slow loop's:
+# lowercase-ascii names, attrs only in `name="value"` form (no NUL, no
+# entities, no quotes-in-value), optional final '/'.  Anything else falls
+# back to the character loop.  Matched this way, the common case — the
+# overwhelming majority of real-web tags — is parsed in one C call.
+_FAST_START_RE = re.compile(
+    r"([a-z][a-z0-9]*)"
+    r"((?:[\t\n\x0c ]+[a-z][a-z0-9-]*=\"[^\"&\x00<>]*\")*)"
+    r"[\t\n\x0c ]*(/?)>"
+)
+_FAST_ATTR_ITER = re.compile(r'([a-z][a-z0-9-]*)="([^"]*)"')
+_FAST_END_RE = re.compile(r"([a-z][a-z0-9]*)[\t\n\x0c ]*>")
+
 # attribute-value character references: named refs without a trailing ';'
 # are NOT expanded when followed by [a-zA-Z0-9=] (WHATWG §13.2.5.73)
 _ATTR_ENTITY_RE = re.compile(
@@ -345,6 +359,11 @@ class Tokenizer:
             return self.next_token()
         if not (c.isalpha() and c.isascii()):
             return self._bogus_comment(lt, i)
+        fm = _FAST_END_RE.match(src, i)
+        if fm is not None:
+            name = fm.group(1)
+            self.pos = fm.end()
+            return ("end", name, i, len(name), lt, fm.end() - lt)
         m = _TAG_NAME_RE.match(src, i)
         name_raw = m.group(0)
         name = name_raw.lower()
@@ -359,6 +378,22 @@ class Tokenizer:
 
     def _start_tag(self, lt: int):
         src, n = self.src, self.n
+        fm = _FAST_START_RE.match(src, lt + 1)
+        if fm is not None:
+            name, rawattrs, slash = fm.groups()
+            if rawattrs:
+                attrs = []
+                seen = set()
+                for am in _FAST_ATTR_ITER.finditer(rawattrs):
+                    aname = am.group(1)
+                    if aname not in seen:       # first occurrence wins
+                        seen.add(aname)
+                        attrs.append((aname, am.group(2)))
+            else:
+                attrs = []
+            self.pos = fm.end()
+            return ("start", name, attrs, slash == "/",
+                    lt + 1, len(name), lt, fm.end() - lt)
         m = _TAG_NAME_RE.match(src, lt + 1)
         name_raw = m.group(0)
         name = name_raw.lower().replace("\x00", "�")

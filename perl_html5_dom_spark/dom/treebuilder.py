@@ -79,6 +79,9 @@ class TreeBuilder:
         self.fragment_context_ns = NS_HTML
         self.done = False
         self.pending: list = []  # reprocess queue (LIFO)
+        # sticky flag: any foreign (SVG/MathML) element ever entered the
+        # tree/stack; false ⇒ allow_cdata is trivially false (hot loop)
+        self._has_foreign = False
 
     # ==================================================================
     # public API
@@ -97,6 +100,8 @@ class TreeBuilder:
         self.tok = Tokenizer(src)
         self.fragment_context_tag = context_tag
         self.fragment_context_ns = context_ns
+        if context_ns != NS_HTML:
+            self._has_foreign = True
         frag = self.doc.new_fragment()
         root = self.doc.new_element("html")
         self.doc.append_child(frag, root)
@@ -127,13 +132,19 @@ class TreeBuilder:
         if not fragment:
             self.stack = []
             self.mode = "initial"
+        pending = self.pending
+        tok = self.tok
+        dispatch = self._dispatch
         while not self.done:
-            if self.pending:
-                token = self.pending.pop()
+            if pending:
+                token = pending.pop()
             else:
-                self.tok.allow_cdata = self._in_foreign_cdata_context()
-                token = self.tok.next_token()
-            self._dispatch(token)
+                # allow_cdata can only be true with a foreign element on
+                # the stack; _has_foreign is a sticky cheap pre-filter
+                tok.allow_cdata = (
+                    self._has_foreign and self._in_foreign_cdata_context())
+                token = tok.next_token()
+            dispatch(token)
 
     def _reprocess(self, token) -> None:
         self.pending.append(token)
@@ -155,14 +166,21 @@ class TreeBuilder:
     # ==================================================================
     def _dispatch(self, token) -> None:
         tt = token[0]
-        if not self.stack or tt == "eof":
+        stack = self.stack
+        if not stack or tt == "eof":
             self._process(token)
             return
         doc = self.doc
-        node = self.stack[-1]
+        node = stack[-1]
         ns = doc.ns[node]
+        # hot path: plain HTML context, no fragment override
+        if ns == NS_HTML and (
+            self.fragment_context_tag is None or len(stack) != 1
+        ):
+            self._process(token)
+            return
         tag = doc.tag[node]
-        if len(self.stack) == 1 and self.fragment_context_tag is not None:
+        if len(stack) == 1 and self.fragment_context_tag is not None:
             ns, tag = self.fragment_context_ns, self.fragment_context_tag
         if ns == NS_HTML:
             self._process(token)
@@ -229,6 +247,8 @@ class TreeBuilder:
             attrs = attrs_override
         else:
             attrs = dict(token[2]) if token[2] else None
+        if ns != NS_HTML:
+            self._has_foreign = True
         nid = doc.new_element(tag, ns, attrs)
         doc.self_closed[nid] = bool(token[3]) if len(token) > 3 else False
         if len(token) >= 8:
