@@ -73,7 +73,8 @@ def main() -> None:
     # q3: node table explode + relational structural join
     def _nodes_join():
         nd = nodes.nodes_df(pages, elements_only=True,
-                            columns=["url", "node_id", "parent_id", "tag"])
+                            columns=["url", "node_id", "parent_id", "tag"]).persist()
+        nd.count()  # materialize: self-join must not parse twice
         child = nd.select("url", "parent_id")
         parent = nd.select("url", F.col("node_id").alias("parent_id"),
                            F.col("tag").alias("parent_tag"))

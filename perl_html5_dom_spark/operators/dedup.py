@@ -92,7 +92,11 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 16, k: int = 3) -> DataF
     perms = spark.createDataFrame(
         [(j, *perm_params(j)) for j in range(num_perm)], "j int, a bigint, b bigint"
     )
-    sh = _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} % {P} as hs")
+    # materialize hashed shingles BEFORE the 16-way perm fan-out:
+    # Catalyst otherwise collapses the projection below the join and
+    # computes md5+conv num_perm times per shingle
+    sh = _materialize(
+        _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} % {P} as hs"))
     return (
         sh.join(F.broadcast(perms))
         .selectExpr("doc_id", "j", f"(a * hs + b) % {P} as h")

@@ -157,7 +157,9 @@ def q_attr_prefix_https(spark, sf_dir):
 
 def q_parent_child_counts(spark, sf_dir):
     """Relational structural join: child.parent_id == parent.node_id."""
-    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True,
+                        columns=["url", "node_id", "parent_id", "tag"]).persist()
+    nodes.count()  # materialize: the self-join must not parse twice
     child = nodes.select("url", "parent_id")
     parent = nodes.select(
         "url", F.col("node_id").alias("parent_id"), F.col("tag").alias("parent_tag"))
