@@ -186,25 +186,28 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash): weighted-token sign fingerprint."""
+    """(doc_id, simhash): weighted-token sign fingerprint.
+
+    One groupBy with ``bits`` conditional-sum columns instead of a
+    bits× row fan-out: the per-bit sums ride the SAME partial
+    aggregation (map-side combine), so the shuffle carries one row per
+    (doc, token) — not 32."""
     tok = docs.selectExpr("doc_id", f"explode({tokens_expr()}) as tok")
     weighted = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
     hashed = weighted.selectExpr("doc_id", "w", f"{H('tok')} as ht")
-    spark = docs.sparkSession
-    bit_ids = spark.range(bits).selectExpr("cast(id as int) as bit")
+    bit_sums = [
+        F.sum(F.expr(
+            f"case when shiftright(ht, {b}) % 2 = 1 then w else -w end"))
+        .alias(f"s{b}")
+        for b in range(bits)
+    ]
+    pieces = " + ".join(
+        f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
+        f"else cast(0 as bigint) end)"
+        for b in range(bits))
     return (
-        hashed.join(F.broadcast(bit_ids))
-        .selectExpr(
-            "doc_id", "bit",
-            "case when shiftright(ht, bit) % 2 = 1 then w else -w end as contrib")
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .selectExpr(
-            "doc_id",
-            "case when s > 0 then shiftleft(cast(1 as bigint), bit) "
-            "else cast(0 as bigint) end as piece")
-        .groupBy("doc_id")
-        .agg(F.sum("piece").alias("simhash"))
+        hashed.groupBy("doc_id").agg(*bit_sums)
+        .selectExpr("doc_id", f"{pieces} as simhash")
     )
 
 

@@ -342,6 +342,33 @@ def q_h1_outer_html(spark, sf_dir):
         "url", "value")
 
 
+
+def q_adjacent_sibling(spark, sf_dir):
+    """'+' combinator (reference "sibling", DOM.xs:470-480)."""
+    return (
+        so.css_find(_pages(spark, sf_dir), "h1 + p")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_general_sibling(spark, sf_dir):
+    """'~' combinator (reference "adjacent", DOM.xs:470-480)."""
+    return (
+        so.css_find(_pages(spark, sf_dir), "p ~ a.ref")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_attr_include(spark, sf_dir):
+    """[class~=v] include comparator via the lowered fast path
+    (findClass analog, DOM.xs:302-305)."""
+    nodes = nd.nodes_df(_pages(spark, sf_dir))
+    return (
+        so.css_find_nodes(nodes, "[class~=widget]")
+        .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -373,6 +400,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_near_dups": q_cosine_near_dups,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "adjacent_sibling": q_adjacent_sibling,
+    "general_sibling": q_general_sibling,
+    "attr_include": q_attr_include,
     "h1_text": q_h1_text,
     "h1_outer_html": q_h1_outer_html,
 }
@@ -528,6 +558,13 @@ ORACLES: dict[str, str] = {
         " where l.doc_id < r.doc_id) "
         "select a, b, cast(bit_count(xor(ha, hb2)) as bigint) as hamming "
         "from pairs where bit_count(xor(ha, hb2)) <= 3",
+    "adjacent_sibling":
+        f"{PAGES_CTE} select url, cast(1 as bigint) as n from pages",
+    "general_sibling":
+        f"{PAGES_CTE} select url, cast(doc_id % 5 as bigint) as n "
+        f"from pages where doc_id % 5 > 0",
+    "attr_include":
+        f"{PAGES_CTE} select url, cast(1 as bigint) as n from pages",
     "h1_text":
         f"{PAGES_CTE} select url, 'Doc ' || cast(doc_id as varchar) as value from pages",
     "h1_outer_html":
