@@ -369,6 +369,31 @@ def q_attr_include(spark, sf_dir):
     )
 
 
+
+def q_serialize_roundtrip(spark, sf_dir):
+    """Serializer fidelity: serialize(parse(html)) must reproduce the
+    source bytes for the template corpus (tokenizer positions + attr
+    quoting + void rules together)."""
+    return _pages(spark, sf_dir).select("url", "html").mapInPandas(
+        _roundtrip_kernel, schema="url string, roundtrip_ok boolean")
+
+
+def _roundtrip_kernel(batches):
+    import pandas as pd
+
+    from .dom.serializer import serialize
+    from .dom.treebuilder import TreeBuilder
+
+    for pdf in batches:
+        out = {"url": [], "roundtrip_ok": []}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            src = bytes(html).decode("utf-8")
+            doc = TreeBuilder().parse(src)
+            out["url"].append(url)
+            out["roundtrip_ok"].append(serialize(doc, doc.root) == src)
+        yield pd.DataFrame(out)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -403,6 +428,7 @@ QUERIES = {
     "adjacent_sibling": q_adjacent_sibling,
     "general_sibling": q_general_sibling,
     "attr_include": q_attr_include,
+    "serialize_roundtrip": q_serialize_roundtrip,
     "h1_text": q_h1_text,
     "h1_outer_html": q_h1_outer_html,
 }
@@ -558,6 +584,8 @@ ORACLES: dict[str, str] = {
         " where l.doc_id < r.doc_id) "
         "select a, b, cast(bit_count(xor(ha, hb2)) as bigint) as hamming "
         "from pairs where bit_count(xor(ha, hb2)) <= 3",
+    "serialize_roundtrip":
+        f"{PAGES_CTE} select url, true as roundtrip_ok from pages",
     "adjacent_sibling":
         f"{PAGES_CTE} select url, cast(1 as bigint) as n from pages",
     "general_sibling":
