@@ -23,6 +23,8 @@ This is the extraction backbone of the Spark pipeline (north_rule:
 
 from __future__ import annotations
 
+import re
+
 from .constants import (
     DISPLAY_BLOCK,
     DISPLAY_NONE,
@@ -39,6 +41,7 @@ from .document import NULL, Document
 
 # collapsible whitespace per the reference's isspace() minus NBSP
 _COLLAPSIBLE = frozenset(" \t\n\x0b\x0c")
+_WS_RUN_RE = re.compile(r"[ \t\n\x0b\x0c]+")
 _SKIP_TAGS = frozenset(("textarea", "input", "audio", "video"))
 _BOUNDARY = (DISPLAY_BLOCK, DISPLAY_TABLE, DISPLAY_TABLE_CAPTION)
 
@@ -112,32 +115,27 @@ def inner_text(doc: Document, nid: int) -> str:
 
 
 def _text_node(doc: Document, node: int, st: _State) -> None:
-    nt = doc.node_type[node]
-    if nt == TEXT_NODE:
-        text = doc.text[node] or ""
-        out = st.out
-        buf: list[str] = []
-        is_empty = True
-        last = _last_char(out)
-        new_line = st.new_line
-        for ch in text:
-            if ch == "\r":
-                continue
-            if ch in _COLLAPSIBLE:
-                if last == " " or new_line:
-                    continue
-                buf.append(" ")
-                last = " "
-            else:
-                buf.append(ch)
-                last = ch
-                is_empty = False
-                new_line = False
-        if buf:
-            out.append("".join(buf))
-        st.new_line = new_line
-        if not is_empty:
-            st.last_br = False
+    # regex whitespace-run collapse — C-speed equivalent of the
+    # character loop in the reference (utils.c:451-463); \r dropped,
+    # NBSP NOT collapsible (excluded from the class)
+    text = doc.text[node] or ""
+    if not text:
+        return
+    if "\r" in text:
+        text = text.replace("\r", "")
+    collapsed = _WS_RUN_RE.sub(" ", text)
+    if not collapsed:
+        return
+    if collapsed == " ":
+        # all-collapsible run: emit at most one space
+        if not st.new_line and _last_char(st.out) != " ":
+            st.out.append(" ")
+        return
+    if collapsed[0] == " " and (st.new_line or _last_char(st.out) == " "):
+        collapsed = collapsed[1:]
+    st.out.append(collapsed)
+    st.new_line = False
+    st.last_br = False
 
 
 def _element_post(doc: Document, node: int, st: _State) -> None:

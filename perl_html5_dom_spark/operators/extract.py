@@ -68,36 +68,40 @@ def _is_blocked(doc: Document, nid: int) -> bool:
     return False
 
 
-def _visible_text_stats(doc: Document, root: int) -> tuple[int, int, int]:
-    """(text_len, link_text_len, p_text_len) under root, skipping blocked
-    subtrees — single stack walk over the flat arrays."""
-    text_len = link_len = p_len = 0
-    stack = [(root, False, False)]
-    first = True
-    while stack:
-        nid, in_link, in_p = stack.pop()
-        nt = doc.node_type[nid]
+def _subtree_stats(doc: Document):
+    """Per-node (text_len, link_text_len, p_text_len) with blocked
+    subtrees contributing nothing — ONE bottom-up pass over the flat
+    arrays (reverse pre-order), so candidate scoring is O(n) total
+    instead of O(candidates × subtree)."""
+    n = len(doc.parent)
+    tl = [0] * n
+    ll = [0] * n
+    pl = [0] * n
+    node_type, tag, text = doc.node_type, doc.tag, doc.text
+    first_child, next_sib = doc.first_child, doc.next_sib
+    for nid in reversed(doc.order):
+        nt = node_type[nid]
         if nt == TEXT_NODE:
-            n = len(doc.text[nid] or "")
-            text_len += n
-            if in_link:
-                link_len += n
-            if in_p:
-                p_len += n
+            tl[nid] = len(text[nid] or "")
             continue
-        if nt != ELEMENT_NODE and not first:
-            continue
-        if not first and _is_blocked(doc, nid):
-            continue
-        first = False
-        tag = doc.tag[nid]
-        il = in_link or tag == "a"
-        ip = in_p or tag == "p"
-        child = doc.first_child[nid]
-        while child != -1:
-            stack.append((child, il, ip))
-            child = doc.next_sib[child]
-    return text_len, link_len, p_len
+        t = l = p = 0
+        c = first_child[nid]
+        while c != -1:
+            if node_type[c] != ELEMENT_NODE or not _is_blocked(doc, c):
+                t += tl[c]
+                l += ll[c]
+                p += pl[c]
+            c = next_sib[c]
+        tl[nid] = t
+        if nt == ELEMENT_NODE and tag[nid] == "a":
+            ll[nid] = t
+        else:
+            ll[nid] = l
+        if nt == ELEMENT_NODE and tag[nid] == "p":
+            pl[nid] = t
+        else:
+            pl[nid] = p
+    return tl, ll, pl
 
 
 def select_main_node(doc: Document) -> int:
@@ -113,6 +117,7 @@ def select_main_node(doc: Document) -> int:
     for nid in order:
         p = doc.parent[nid]
         depth[nid] = depth.get(p, 0) + 1
+    stats_tl, stats_ll, stats_pl = _subtree_stats(doc)
     best, best_key = doc.body_node, (-1.0, -1)
     for nid in order:
         if doc.node_type[nid] != ELEMENT_NODE:
@@ -121,7 +126,7 @@ def select_main_node(doc: Document) -> int:
             continue
         if _is_blocked(doc, nid):
             continue
-        tl, ll, pl = _visible_text_stats(doc, nid)
+        tl, ll, pl = stats_tl[nid], stats_ll[nid], stats_pl[nid]
         if tl == 0:
             continue
         score = (tl - ll) * (1.0 + (pl / tl))
