@@ -248,13 +248,21 @@ def extract_pages(df, span_selector: str | None = "a[href]",
         matcher.compile_selector(span_selector) if span_selector else None
     )
 
+    empty_row = {
+        "encoding": "", "title": "", "main_text": "", "inner_text": "",
+        "text_content": "", "n_nodes": 0, "n_elements": 0, "spans": [],
+    }
+
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             out = {k: [] for k in ("url",) + fields}
             for url, html in zip(pdf["url"], pdf["html"]):
-                r = extract_one(html, compiled, fields)
+                # real corpora carry null/empty html rows — emit an
+                # empty extraction instead of failing the task
+                r = (extract_one(html, compiled, fields)
+                     if html is not None else empty_row)
                 out["url"].append(url)
                 for k in fields:
                     out[k].append(r[k])

@@ -1,0 +1,105 @@
+"""Operator-level Spark tests: dedup invariants, textstats, similarity,
+skew/robustness — on sf0.001 (shared session from conftest)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, docs):
+    docs.createOrReplaceTempView("documents")
+    from perl_html5_dom_spark.queries import CORPUS_SQL
+
+    return spark.sql(CORPUS_SQL).persist()
+
+
+def test_minhash_is_subset_of_exact_jaccard(spark, corpus):
+    from perl_html5_dom_spark.operators.dedup import (
+        jaccard_pairs, minhash_near_dups)
+
+    exact = {(r.a, r.b) for r in jaccard_pairs(corpus, 0.5).collect()}
+    lsh = {(r.a, r.b) for r in minhash_near_dups(corpus, 0.5).collect()}
+    assert lsh <= exact                       # LSH never invents pairs
+    assert len(lsh) >= 0.9 * len(exact)       # and recall stays high
+    # every planted exact copy (id+100000) must be found by both
+    planted = {(r.a, r.a + 100000) for r in
+               corpus.filter("doc_id % 5 = 0 and doc_id < 100000")
+               .selectExpr("doc_id as a").collect()}
+    assert planted <= lsh
+
+
+def test_simhash_identical_docs_zero_hamming(spark, corpus):
+    from perl_html5_dom_spark.operators.dedup import simhash
+
+    sh = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    for did in range(0, 100, 5):
+        assert sh[did] == sh[did + 100000]
+
+
+def test_lang_id_and_quality(spark, docs):
+    from perl_html5_dom_spark.operators.textstats import (
+        lang_id, quality_scores, token_counts)
+
+    li = lang_id(docs)
+    assert li.filter("lang_pred not in ('en','de','fr','es','zh','und')").count() == 0
+    q = quality_scores(docs)
+    assert q.filter("quality < 0 or quality > 1").count() == 0
+    tc = token_counts(docs)
+    assert tc.filter("bpe_ish_tokens < ws_tokens").count() == 0
+
+
+def test_ann_lsh_recall_against_brute_force(spark):
+    from perl_html5_dom_spark.operators.similarity import (
+        ann_topk_lsh, brute_force_topk)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(emb, [0, 1], k=5).collect()
+    approx = ann_topk_lsh(emb, [0, 1], k=5, bits=4, tables=4).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in approx}
+    # recall need not be perfect, but buckets with 4 tables x 4 bits
+    # should recover a good share of the true top-5
+    assert len(ex & ap) >= 4
+
+
+def test_extract_handles_null_and_hostile_html(spark):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+
+    rows = [
+        ("u1", b"<html><body><p>fine</p></body></html>"),
+        ("u2", None),
+        ("u3", b""),
+        ("u4", b"\x00\xff\xfe garbage <<<"),
+        ("u5", b"<div>" * 5000),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r for r in extract_pages(df).collect()}
+    assert len(out) == 5
+    assert out["u1"].main_text == "fine"
+    assert out["u2"].n_nodes == 0
+    assert out["u5"].n_nodes > 5000
+
+
+def test_giant_document_skew_extraction(spark):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.plans.pipeline import salted_repartition
+
+    big = "<p>" + "word " * 200_000 + "</p>"          # ~1.2 MB doc
+    rows = [(f"u{i}", f"<html><body><p>doc {i}</p></body></html>".encode())
+            for i in range(50)] + [("giant", f"<html><body>{big}</body></html>".encode())]
+    df = salted_repartition(
+        spark.createDataFrame(rows, "url string, html binary"), 8)
+    out = extract_pages(df, None, fields=["url", "main_text"])
+    got = {r.url: r.main_text for r in out.collect()}
+    assert len(got) == 51
+    assert got["u7"] == "doc 7"
+    # 200k words -> "word "*200k rtrimmed = 999,999 chars exactly
+    assert got["giant"].startswith("word word")
+    assert len(got["giant"]) == 200_000 * 5 - 1
