@@ -1,0 +1,470 @@
+"""Optimistic fast-lane tree builder.
+
+The full insertion-mode state machine (treebuilder.py) spends most of
+its time dispatching per-token through mode handlers that exist for
+cases the common crawl page never hits (tables, templates, framesets,
+foreign content, adoption agency).  This module parses the common shape
+directly with a plain element stack and **bails out** — raising
+``_Bail`` — the moment anything appears whose semantics could diverge
+from the spec machine:
+
+  * any tag outside the simple vocabulary (tables, forms, template,
+    select, pre, textarea, frames, SVG/MathML, ...),
+  * implicit popping of an open formatting element (that is exactly
+    when the adoption agency / active-formatting reconstruction of the
+    reference engine (DOM.xs adoption tests) produces trees a plain
+    stack cannot),
+  * nested/duplicated unclosed formatting of the same tag (Noah's-ark
+    and <a>-in-<a> cases),
+  * anything unusual around the document frame (quirky doctype,
+    text between </head> and <body>, content after </body>).
+
+``parse`` falls back to the full TreeBuilder on bail, so the result is
+ALWAYS spec-identical; the differential test (tests/test_fastparse.py)
+asserts tree equality between the two lanes on every input it can
+generate.  Tokenization is shared — positions, entities and raw-text
+handling are byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    FORMATTING_TAGS,
+    HEADING_TAGS,
+    NS_HTML,
+    VOID_TAGS,
+)
+from .document import NULL, Document
+from .tokenizer import Tokenizer
+from .treebuilder import _BLOCK_START, TreeBuilder
+
+_WS = "\t\n\x0c\r "
+
+
+class _Bail(Exception):
+    pass
+
+
+#: head-only elements handled in the fast lane
+_HEAD_VOID = frozenset(("base", "basefont", "bgsound", "link", "meta"))
+_RAWTEXT_MODES = {
+    "title": "rcdata",
+    "style": "rawtext",
+    "noframes": "rawtext",
+    "noscript": "rawtext",
+    "script": "script",
+}
+
+#: body start tags the fast lane accepts, by treatment
+_PHRASING = frozenset(
+    """span abbr cite dfn kbd mark q sub sup time var bdi bdo data del
+    ins samp output label wbr""".split()
+)
+_BODY_VOID = frozenset(("br", "img", "wbr", "area", "embed", "keygen", "hr"))
+_LIST_ITEM = frozenset(("li",))
+_DD_DT = frozenset(("dd", "dt"))
+_IMPLIED = frozenset(("dd", "dt", "li", "p"))
+
+_OK_BODY_START = (
+    _BLOCK_START | HEADING_TAGS | FORMATTING_TAGS | _PHRASING | _BODY_VOID
+    | _LIST_ITEM | _DD_DT | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
+)
+
+# elements that terminate the li / dd-dt backward search ("special" but
+# not address/div/p, restricted to the fast vocabulary)
+_LI_STOP = frozenset(
+    (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
+     | frozenset(_RAWTEXT_MODES) | _HEAD_VOID)
+    - {"address", "div", "p"}
+)
+
+#: "special" elements of the fast vocabulary (any-other-end-tag rule)
+_SPECIAL = (
+    _BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
+    | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
+    | frozenset(("html", "head", "body"))
+)
+
+
+class _Fast:
+    __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase")
+
+    def __init__(self, src: str) -> None:
+        self.doc = Document()
+        self.tok = Tokenizer(src)
+        self.stack: list[int] = []     # node ids
+        self.tags: list[str] = []      # parallel tag names
+        self.open_fmt: list[str] = []  # open formatting tags (subset order)
+
+    # -- tree helpers ---------------------------------------------------
+
+    def _el(self, token, tag=None) -> int:
+        doc = self.doc
+        attrs = dict(token[2]) if token is not None and token[2] else None
+        nid = doc.new_element(tag or token[1], NS_HTML, attrs)
+        if token is not None:
+            doc.self_closed[nid] = bool(token[3])
+            if len(token) >= 8:
+                doc.raw_begin[nid] = token[4]
+                doc.raw_length[nid] = token[5]
+                doc.elem_begin[nid] = token[6]
+                doc.elem_length[nid] = token[7]
+        return nid
+
+    def _append(self, nid: int) -> None:
+        self.doc.append_child(self.stack[-1], nid)
+
+    def _push(self, token, tag=None) -> int:
+        nid = self._el(token, tag)
+        self._append(nid)
+        self.stack.append(nid)
+        self.tags.append(tag or token[1])
+        return nid
+
+    def _text(self, text: str, parent: int | None = None) -> None:
+        if not text:
+            return
+        doc = self.doc
+        p = self.stack[-1] if parent is None else parent
+        prev = doc.last_child[p]
+        if prev != NULL and doc.node_type[prev] == 3:
+            doc.text[prev] = (doc.text[prev] or "") + text
+            return
+        doc.append_child(p, doc.new_text(text))
+
+    def _comment(self, token, parent: int | None = None) -> None:
+        doc = self.doc
+        nid = doc.new_comment(token[1])
+        if len(token) >= 6:
+            doc.raw_begin[nid] = token[2]
+            doc.raw_length[nid] = token[3]
+            doc.elem_begin[nid] = token[4]
+            doc.elem_length[nid] = token[5]
+        doc.append_child(self.stack[-1] if parent is None else parent, nid)
+
+    def _pop(self) -> str:
+        self.stack.pop()
+        t = self.tags.pop()
+        if t in FORMATTING_TAGS:
+            # a matched explicit close of the innermost-open formatting
+            # tag keeps the AFE list consistent; anything else bailed
+            self.open_fmt.remove(t)
+        return t
+
+    def _pop_implicit(self) -> str:
+        """Pop during implied-end handling; crossing an open formatting
+        element means the spec machine would reconstruct it later."""
+        if self.tags[-1] in FORMATTING_TAGS:
+            raise _Bail
+        return self._pop()
+
+    def _pop_until(self, tag: str) -> None:
+        while True:
+            if self.tags[-1] == tag:
+                self._pop()
+                return
+            self._pop_implicit()
+
+    def _close_p(self) -> None:
+        if "p" in self.tags:
+            self._pop_until("p")
+
+    def _rawtext(self, token) -> None:
+        tag = token[1]
+        self._push(token)
+        self.tok.set_rawtext(tag, _RAWTEXT_MODES[tag])
+        t = self.tok.next_token()
+        if t[0] == "char":
+            self._text(t[1])
+            t = self.tok.next_token()
+        # eof or the matching end tag both just close the element
+        if t[0] not in ("end", "eof"):
+            raise _Bail
+        self.stack.pop()
+        self.tags.pop()
+
+    # -- main -----------------------------------------------------------
+
+    def run(self) -> Document:
+        doc = self.doc
+        tok = self.tok
+        next_token = tok.next_token
+
+        # ---- initial / before html ----
+        token = next_token()
+        while token[0] == "comment":
+            self._comment(token, parent=doc.root)
+            token = next_token()
+        if token[0] == "doctype":
+            name, public, system, fq = token[1], token[2], token[3], token[4]
+            if fq or name != "html" or public is not None or system is not None:
+                raise _Bail
+            nid = doc.new_doctype(name, public, system)
+            doc.append_child(doc.root, nid)
+            doc.doctype_node = nid
+            token = next_token()
+        else:
+            doc.quirks = True
+        while token[0] == "comment":
+            self._comment(token, parent=doc.root)
+            token = next_token()
+        if token[0] == "char":
+            if token[1].lstrip(_WS):
+                raise _Bail          # implied <html> from text
+            token = next_token()
+        if token[0] != "start" or token[1] != "html":
+            raise _Bail
+        html = self._el(token)
+        doc.append_child(doc.root, html)
+        doc.html_node = html
+        self.stack.append(html)
+        self.tags.append("html")
+
+        # ---- before head ----
+        token = next_token()
+        while True:
+            if token[0] == "comment":
+                self._comment(token)
+            elif token[0] == "char":
+                if token[1].lstrip(_WS):
+                    raise _Bail
+            else:
+                break
+            token = next_token()
+        if token[0] == "start" and token[1] == "head":
+            head = self._push(token)
+        else:
+            head = self._push(None, "head")
+            # token reprocessed below in head
+        doc.head_node = head
+
+        # ---- in head ----
+        if not (token[0] == "start" and token[1] == "head"):
+            pending: tuple | None = token
+        else:
+            pending = None
+        while True:
+            token = pending if pending is not None else next_token()
+            pending = None
+            tt = token[0]
+            if tt == "char":
+                ws = token[1]
+                stripped = ws.lstrip(_WS)
+                if stripped:
+                    lead = ws[: len(ws) - len(stripped)]
+                    if lead:
+                        self._text(lead)
+                    # implied </head>; only <body> handled after text
+                    raise _Bail
+                self._text(ws)
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                tag = token[1]
+                if tag in _HEAD_VOID:
+                    nid = self._el(token)
+                    self._append(nid)
+                    continue
+                if tag in _RAWTEXT_MODES:
+                    self._rawtext(token)
+                    continue
+                # implied </head>
+                self._pop()           # head
+                pending = token
+                break
+            if tt == "end":
+                if token[1] == "head":
+                    self._pop()
+                    break
+                if token[1] in ("body", "html", "br"):
+                    self._pop()
+                    pending = token
+                    break
+                continue              # ignored end tag
+            if tt == "eof":
+                raise _Bail           # head-only document: rare, slow lane
+            raise _Bail
+
+        # ---- after head ----
+        while True:
+            token = pending if pending is not None else next_token()
+            pending = None
+            tt = token[0]
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "char":
+                raise _Bail           # ws lands in <html>: rare shape
+            if tt == "start" and token[1] == "body":
+                body = self._push(token)
+                break
+            if tt == "start" and token[1] in _HEAD_VOID | set(_RAWTEXT_MODES):
+                raise _Bail           # re-enter head: rare
+            # implied <body>
+            body = self._push(None, "body")
+            pending = token
+            break
+        doc.body_node = body
+
+        # ---- in body ----
+        while True:
+            token = pending if pending is not None else next_token()
+            pending = None
+            tt = token[0]
+            if tt == "char":
+                self._text(token[1])
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                self._body_start(token)
+                continue
+            if tt == "end":
+                tag = token[1]
+                if tag == "body" or tag == "html":
+                    if "p" in self.tags or len(self.stack) != 2:
+                        # unclosed elements at </body>: spec keeps them
+                        # open (no tree change), safe to continue only
+                        # if no formatting is open
+                        if self.open_fmt:
+                            raise _Bail
+                    self._after_body(next_token, saw_html_end=(tag == "html"))
+                    return doc
+                self._body_end(tag)
+                continue
+            if tt == "eof":
+                return doc
+            raise _Bail
+
+    # -- body handlers ----------------------------------------------------
+
+    def _body_start(self, token) -> None:
+        tag = token[1]
+        if tag not in _OK_BODY_START:
+            raise _Bail
+        if tag in _BLOCK_START:
+            self._close_p()
+            self._push(token)
+            return
+        if tag in HEADING_TAGS:
+            self._close_p()
+            if self.tags[-1] in HEADING_TAGS:
+                self._pop()
+            self._push(token)
+            return
+        if tag == "li" or tag in _DD_DT:
+            group = ("li",) if tag == "li" else ("dd", "dt")
+            for t in reversed(self.tags):
+                if t in group:
+                    self._pop_until(t)
+                    break
+                if t in _LI_STOP:
+                    break
+            self._close_p()
+            self._push(token)
+            return
+        if tag in FORMATTING_TAGS:
+            if tag == "a" and "a" in self.open_fmt:
+                raise _Bail           # adoption agency
+            if self.open_fmt.count(tag) >= (1 if tag == "a" else 3):
+                raise _Bail           # Noah's ark
+            self._push(token)
+            self.open_fmt.append(tag)
+            return
+        if tag == "hr":
+            self._close_p()
+            nid = self._el(token)
+            self._append(nid)
+            return
+        if tag in _BODY_VOID or tag in _HEAD_VOID:
+            nid = self._el(token)
+            self._append(nid)
+            return
+        if tag in _RAWTEXT_MODES:
+            self._rawtext(token)
+            return
+        # phrasing
+        self._push(token)
+
+    def _body_end(self, tag: str) -> None:
+        tags = self.tags
+        if tag == "br":
+            # spec: </br> acts as <br> (position-less synthetic token)
+            nid = self.doc.new_element("br", NS_HTML, None)
+            self._append(nid)
+            return
+        if tag == "p":
+            if "p" not in tags:
+                raise _Bail           # spec synthesizes an empty <p>
+            self._pop_until("p")
+            return
+        if tag == "li" or tag in _DD_DT:
+            for t in reversed(tags):
+                if t == tag:
+                    self._pop_until(tag)
+                    return
+                if (tag == "li" and t in ("ul", "ol")) or t == "html":
+                    return            # not in scope: ignore
+            return
+        if tag in HEADING_TAGS:
+            if any(t in HEADING_TAGS for t in tags):
+                while self.tags[-1] not in HEADING_TAGS:
+                    self._pop_implicit()
+                self._pop()
+            return
+        if tag in FORMATTING_TAGS:
+            if tags[-1] == tag:
+                self._pop()
+                return
+            raise _Bail               # adoption agency
+        # blocks and any-other end tags share the walk-down rule
+        for t in reversed(tags):
+            if t == tag:
+                # generate implied end tags, then pop until target
+                while self.tags[-1] in _IMPLIED and self.tags[-1] != tag:
+                    self._pop_implicit()
+                self._pop_until(tag)
+                return
+            if tag not in _BLOCK_START and t in _SPECIAL:
+                return                # ignore token
+        return                        # not found: ignore
+
+    def _after_body(self, next_token, saw_html_end: bool) -> None:
+        doc = self.doc
+        phase_after_after = saw_html_end
+        while True:
+            token = next_token()
+            tt = token[0]
+            if tt == "eof":
+                return
+            if tt == "comment":
+                self._comment(
+                    token,
+                    parent=doc.root if phase_after_after else doc.html_node)
+                continue
+            if tt == "char" and not token[1].lstrip(_WS):
+                raise _Bail           # ws after body re-enters body mode
+            if tt == "end" and token[1] == "html" and not phase_after_after:
+                phase_after_after = True
+                continue
+            raise _Bail
+
+
+def try_parse(src: str) -> Document | None:
+    """Fast-lane parse; None if the document needs the full machine."""
+    try:
+        return _Fast(src).run()
+    except _Bail:
+        return None
+    except IndexError:
+        return None
+
+
+def parse(src: str) -> Document:
+    doc = try_parse(src)
+    if doc is not None:
+        return doc
+    return TreeBuilder().parse(src)

@@ -476,7 +476,10 @@ class TreeBuilder:
             bookmark = self.afe.index(entry)
             node_i = furthest
             node = self.stack[node_i]
-            last_node = self.stack[furthest]
+            # the furthest block must be tracked by NODE: the inner loop
+            # removes stack entries, so the index goes stale
+            fb = self.stack[furthest]
+            last_node = fb
             inner = 0
             while True:  # inner loop
                 inner += 1
@@ -504,7 +507,7 @@ class TreeBuilder:
                 node_entry[0] = clone
                 self.stack[self.stack.index(node)] = clone
                 node = clone
-                if last_node == self.stack[furthest]:
+                if last_node == fb:
                     bookmark = self.afe.index(node_entry) + 1
                 # move last_node under node
                 doc.append_child(node, last_node)
@@ -512,7 +515,6 @@ class TreeBuilder:
             # insert last_node at appropriate place for common_ancestor
             self._insert_relative_to(common_ancestor, last_node)
             # create clone of fmt element; move furthest block's children
-            fb = self.stack[furthest]
             clone = doc.new_element(entry[1], NS_HTML,
                                     dict(entry[2]) if entry[2] else None)
             for c in doc.children(fb):

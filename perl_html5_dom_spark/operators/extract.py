@@ -28,10 +28,9 @@ import re
 from typing import Iterable, Iterator
 
 from ..dom import encoding as enc
-from ..dom import innertext, serializer
+from ..dom import fastparse, innertext, serializer
 from ..dom.constants import ELEMENT_NODE, TEXT_NODE
 from ..dom.document import Document
-from ..dom.treebuilder import TreeBuilder
 from ..selector import matcher
 
 # ---------------------------------------------------------------------------
@@ -181,9 +180,13 @@ EXTRACT_SCHEMA = (
 
 def parse_document(html, parser_encoding: str | None = None) -> Document:
     """bytes|str → Document via the encoding-sniffing pipeline
-    (reference utils.c:620-649 semantics)."""
+    (reference utils.c:620-649 semantics).
+
+    Uses the optimistic fast-lane builder (dom/fastparse.py) which
+    bails to the full insertion-mode machine on anything unusual —
+    spec-identical by the differential test suite."""
     encoding, text = enc.sniff_and_decode(html, encoding=parser_encoding)
-    doc = TreeBuilder().parse(text)
+    doc = fastparse.parse(text)
     doc.encoding = encoding
     return doc
 

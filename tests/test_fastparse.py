@@ -1,0 +1,124 @@
+"""Differential test: fast-lane parse must equal the full insertion-mode
+machine on EVERY input (fast lane bails to the slow lane when unsure, so
+equality must hold whether or not the fast path was taken)."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from perl_html5_dom_spark.dom import fastparse
+from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+
+
+def project(doc):
+    """Order-stable projection of every node field that matters."""
+    order = doc.order
+    pos = {nid: i for i, nid in enumerate(order)}
+
+    def ref(nid):
+        return pos.get(nid, -1) if nid is not None and nid != -1 else -1
+
+    rows = []
+    for nid in order:
+        rows.append((
+            doc.tag[nid], doc.ns[nid], doc.node_type[nid], doc.text[nid],
+            dict(doc.attrs[nid]) if doc.attrs[nid] is not None else None,
+            bool(doc.self_closed[nid]),
+            doc.raw_begin[nid], doc.raw_length[nid],
+            doc.elem_begin[nid], doc.elem_length[nid],
+        ))
+    meta = (doc.quirks, ref(doc.html_node), ref(doc.head_node),
+            ref(doc.body_node), ref(doc.doctype_node))
+    return rows, meta
+
+
+def assert_equal_trees(src):
+    fast = fastparse.parse(src)
+    full = TreeBuilder().parse(src)
+    assert project(fast) == project(full), src[:400]
+
+
+CASES = [
+    "",
+    "<!DOCTYPE html><html><head><title>t</title></head><body><p>x</p></body></html>",
+    "<html><body><p>implied doctype",
+    "<!DOCTYPE html><html><head></head><body><div><p>a<p>b</div></body></html>",
+    "<!DOCTYPE html><html><head></head><body><ul><li>a<li>b<li><ul><li>n</ul></ul></body></html>",
+    "<!DOCTYPE html><html><head></head><body><h1>a<h2>b</h2></body></html>",
+    "<!DOCTYPE html><html><head></head><body><b>x</b><i>y</i></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><b>x</b></p></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><b>x<div>y</div></b></body></html>",  # AFE bail
+    "<!DOCTYPE html><html><head></head><body><a href='1'>x</a><a href='2'>y</a></body></html>",
+    "<!DOCTYPE html><html><head></head><body><a>x<a>y</a></body></html>",  # nested a bail
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><svg><circle/></svg></body></html>",
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>a{}</style>"
+    "<script>if(a<b)x();</script></head><body>t</body></html>",
+    "<!-- c --><!DOCTYPE html><html><!-- d --><head></head><body>x</body><!-- e --></html><!-- f -->",
+    "<!DOCTYPE html><html><head></head><body><span>x</span></div></body></html>",
+    "<!DOCTYPE html><html><head></head><body><div><span></div>t</body></html>",
+    "<!DOCTYPE html><html><head></head><body><dl><dd>a<dt>b</dl></body></html>",
+    "<!DOCTYPE html><html><head></head><body>a<br>b<hr><img src=x>c</body></html>",
+    "<!DOCTYPE html><html><head></head><body><p>x</p></body></html>\n",
+    "<!DOCTYPE html><html><head></head><body><blockquote><p>q</blockquote></body></html>",
+    "<!doctype HTML><HTML><HEAD></HEAD><BODY><P>upper</P></BODY></HTML>",
+    "<!DOCTYPE html><html><head></head><body></p>x</body></html>",  # stray </p> bail
+    "<!DOCTYPE html><html><head></head><body><h3>only open",
+    "<!DOCTYPE html><html><head></head><body><footer><p>a</footer></body></html>",
+    "<!DOCTYPE html><html lang=\"en\" data-x=\"1\"><head></head><body>x</body></html>",
+    "plain text only",
+    "<div>no frame</div>",
+    "<!DOCTYPE html><html><head><title>a&amp;b</title></head><body>&lt;x&gt;</body></html>",
+    "<!DOCTYPE html><html><head></head><body><p>\xa0 nbsp \xa0</p></body></html>",
+]
+
+
+@pytest.mark.parametrize("src", CASES)
+def test_differential_cases(src):
+    assert_equal_trees(src)
+
+
+def test_differential_corpus():
+    from perl_html5_dom_spark.sources import pages
+
+    rows = duckdb.sql(
+        "with documents as (select * from "
+        "'/root/testdata/sf0.01/documents.parquet') "
+        + pages.pages_cte() + " limit 200").fetchall()
+    n_fast = 0
+    for _, _, html_str, _, _ in rows:
+        assert_equal_trees(html_str)
+        if fastparse.try_parse(html_str) is not None:
+            n_fast += 1
+    # the synthetic corpus is exactly the shape the fast lane targets
+    assert n_fast == len(rows)
+
+
+_tags = st.sampled_from(
+    "div p span ul li b i a h1 h2 br table td form pre em strong section".split())
+
+
+@st.composite
+def soup(draw):
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 3))
+        t = draw(_tags)
+        if kind == 0:
+            parts.append(f"<{t}>")
+        elif kind == 1:
+            parts.append(f"</{t}>")
+        elif kind == 2:
+            parts.append(draw(st.text(
+                alphabet="ab <>&;x\n\t\xa0", min_size=0, max_size=12)))
+        else:
+            parts.append(f'<{t} class="c d" id=\'{draw(st.integers(0, 9))}\'>')
+    parts.append(draw(st.sampled_from(["", "</body></html>", "</body>", "</html>"])))
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(soup())
+def test_differential_fuzz(src):
+    assert_equal_trees(src)
