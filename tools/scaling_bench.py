@@ -105,8 +105,8 @@ Run {ts}; input {sf_dir} pages corpus x{replicate} replicate
 
 Machine-ceiling context: this box is a single 32-core node with shared
 memory bandwidth.  Pure-Python multiprocessing of the *same kernel*
-(no Spark, no serialization) measures 9.6k docs/s @ 8 procs -> 26.2k @
-32 procs, i.e. the hardware itself only scales at 0.68 efficiency over
+(no Spark, no serialization) measures 17.8k docs/s @ 8 procs -> 45.6k @
+32 procs, i.e. the hardware itself only scales at 0.64 efficiency over
 the 8->32 step (memory-bound); 2->8 is the linear region.  On a real
 multi-node cluster each executor has its own memory channels, so the
 in-linear-region N->4N figure is the one that transfers to N vs 4N
