@@ -87,7 +87,7 @@ _SPECIAL = (
 
 
 class _Fast:
-    __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase")
+    __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase", "_L")
 
     def __init__(self, src: str) -> None:
         self.doc = Document()
@@ -95,20 +95,52 @@ class _Fast:
         self.stack: list[int] = []     # node ids
         self.tags: list[str] = []      # parallel tag names
         self.open_fmt: list[str] = []  # open formatting tags (subset order)
+        d = self.doc
+        # cached struct-of-array refs: node allocation is the fast lane's
+        # hottest call — append inline, no Document method hops
+        self._L = (
+            d.parent, d.first_child, d.last_child, d.next_sib, d.prev_sib,
+            d.tag, d.ns, d.node_type, d.text, d.attrs, d.self_closed,
+            d.raw_begin, d.raw_length, d.elem_begin, d.elem_length,
+        )
 
     # -- tree helpers ---------------------------------------------------
 
     def _el(self, token, tag=None) -> int:
-        doc = self.doc
-        attrs = dict(token[2]) if token is not None and token[2] else None
-        nid = doc.new_element(tag or token[1], NS_HTML, attrs)
+        (parent, first, last, nxt, prv, tags, nss, types, texts, attrss,
+         sc, rb, rl, eb, el) = self._L
+        nid = len(tags)
+        parent.append(NULL)
+        first.append(NULL)
+        last.append(NULL)
+        nxt.append(NULL)
+        prv.append(NULL)
+        nss.append(NS_HTML)
+        types.append(1)                # ELEMENT_NODE
+        texts.append(None)
         if token is not None:
-            doc.self_closed[nid] = bool(token[3])
+            tags.append(tag or token[1])
+            attrss.append(dict(token[2]) if token[2] else None)
+            sc.append(bool(token[3]))
             if len(token) >= 8:
-                doc.raw_begin[nid] = token[4]
-                doc.raw_length[nid] = token[5]
-                doc.elem_begin[nid] = token[6]
-                doc.elem_length[nid] = token[7]
+                rb.append(token[4])
+                rl.append(token[5])
+                eb.append(token[6])
+                el.append(token[7])
+            else:
+                rb.append(0)
+                rl.append(0)
+                eb.append(0)
+                el.append(0)
+        else:
+            tags.append(tag)
+            attrss.append(None)
+            sc.append(False)
+            rb.append(0)
+            rl.append(0)
+            eb.append(0)
+            el.append(0)
+        self.doc._dirty = True
         return nid
 
     def _append(self, nid: int) -> None:
@@ -130,7 +162,26 @@ class _Fast:
         if prev != NULL and doc.node_type[prev] == 3:
             doc.text[prev] = (doc.text[prev] or "") + text
             return
-        doc.append_child(p, doc.new_text(text))
+        (par, first, last, nxt, prv, tags, nss, types, texts, attrss,
+         sc, rb, rl, eb, el) = self._L
+        nid = len(tags)
+        par.append(NULL)
+        first.append(NULL)
+        last.append(NULL)
+        nxt.append(NULL)
+        prv.append(NULL)
+        tags.append("-text")
+        nss.append(NS_HTML)
+        types.append(3)                # TEXT_NODE
+        texts.append(text)
+        attrss.append(None)
+        sc.append(False)
+        rb.append(0)
+        rl.append(0)
+        eb.append(0)
+        el.append(0)
+        doc._dirty = True
+        doc.append_child(p, nid)
 
     def _comment(self, token, parent: int | None = None) -> None:
         doc = self.doc
