@@ -67,6 +67,10 @@ def main() -> None:
     # q1: the north-star extraction — parse + boilerplate strip + spans
     bench("extract", lambda: extract_pages(pages)
           .agg(F.sum("n_nodes"), F.count("*")).collect())
+    # q1b: the production path — pruned output (url, main_text, spans)
+    bench("extract_main", lambda: extract_pages(
+        pages, fields=["url", "main_text", "spans"])
+        .agg(F.sum(F.length("main_text")), F.count("*")).collect())
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
           .count())

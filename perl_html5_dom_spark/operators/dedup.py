@@ -161,9 +161,36 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
                       num_perm: int = 16, bands: int = 4, k: int = 3) -> DataFrame:
-    """LSH candidates → exact Jaccard verification (a, b, jaccard)."""
-    cand = _materialize(lsh_candidate_pairs(docs, num_perm, bands, k))
-    sh = _materialize(_shingles(docs, k))  # sizes + both join sides
+    """LSH candidates → exact Jaccard verification (a, b, jaccard).
+
+    One shingle explode feeds BOTH the signature build and the verify
+    join (materialized once); candidate generation mirrors
+    lsh_candidate_pairs on the shared table."""
+    spark = docs.sparkSession
+    rows = num_perm // bands
+    sh = _materialize(_shingles(docs, k))  # sizes + verify join sides
+    perms = spark.createDataFrame(
+        [(j, *perm_params(j)) for j in range(num_perm)], "j int, a bigint, b bigint")
+    # materialize the hash projection too: Catalyst would collapse it
+    # below the perm fan-out and run md5+conv num_perm times per shingle
+    hs = _materialize(sh.selectExpr("doc_id", f"{H('shingle')} % {P} as hs"))
+    sig = (
+        hs.join(F.broadcast(perms))
+        .selectExpr("doc_id", "j", f"(a * hs + b) % {P} as h")
+        .groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+    )
+    buckets = _materialize(
+        sig.withColumn("band", (F.col("j") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.expr("mh * (j + 1)")).alias("bk1"),
+             F.sum(F.expr("mh")).alias("bk2")))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, ["band", "bk1", "bk2"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # equi-join on (doc, shingle) both sides — never |A|x|B| per pair
     inter = (
