@@ -112,7 +112,8 @@ def q_node_counts(spark, sf_dir):
 
 def q_tag_histogram(spark, sf_dir):
     return (
-        nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+        nd.nodes_df(_pages(spark, sf_dir), elements_only=True,
+                    columns=["url", "tag"])
         .groupBy("tag").agg(F.count("*").cast("bigint").alias("n"))
     )
 
@@ -148,7 +149,9 @@ def q_css_contains(spark, sf_dir):
 def q_attr_prefix_https(spark, sf_dir):
     """Lowered fast path: single-compound selector → Column predicates
     (no Python matcher in the plan)."""
-    nodes = nd.nodes_df(_pages(spark, sf_dir))
+    nodes = nd.nodes_df(_pages(spark, sf_dir), columns=[
+        "url", "node_id", "ord", "tag", "node_type", "attrs",
+        "elem_begin", "elem_length"])
     return (
         so.css_find_nodes(nodes, "a[href^='https://']")
         .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))
@@ -172,7 +175,8 @@ def q_parent_child_counts(spark, sf_dir):
 
 def q_li_sibling_positions(spark, sf_dir):
     """Window analog of :nth-child — sibling index via row_number."""
-    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True)
+    nodes = nd.nodes_df(_pages(spark, sf_dir), elements_only=True,
+                        columns=["url", "node_id", "parent_id", "tag"])
     w = Window.partitionBy("url", "parent_id").orderBy("node_id")
     return (
         nodes.filter(F.col("tag") == "li")
@@ -362,7 +366,9 @@ def q_general_sibling(spark, sf_dir):
 def q_attr_include(spark, sf_dir):
     """[class~=v] include comparator via the lowered fast path
     (findClass analog, DOM.xs:302-305)."""
-    nodes = nd.nodes_df(_pages(spark, sf_dir))
+    nodes = nd.nodes_df(_pages(spark, sf_dir), columns=[
+        "url", "node_id", "ord", "tag", "node_type", "attrs",
+        "elem_begin", "elem_length"])
     return (
         so.css_find_nodes(nodes, "[class~=widget]")
         .groupBy("url").agg(F.count("*").cast("bigint").alias("n"))

@@ -96,14 +96,24 @@ def test_differential_corpus():
 
 
 _tags = st.sampled_from(
-    "div p span ul li b i a h1 h2 br table td form pre em strong section".split())
+    "div p span ul li b i a h1 h2 br table td form pre em strong section "
+    "dd dt dl hr img footer blockquote".split())
+
+_HEADS = [
+    "<!DOCTYPE html><html><head></head><body>",
+    "<!DOCTYPE html><html><head><title>t</title></head><body>",
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>a{color:x}"
+    "</style><script>1<2&&x()</script></head><body>",
+    "<html><head></head><body>",
+    "<!-- lead --><!DOCTYPE html><html><head></head><body>",
+]
 
 
 @st.composite
 def soup(draw):
-    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    parts = [draw(st.sampled_from(_HEADS))]
     for _ in range(draw(st.integers(0, 12))):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 4))
         t = draw(_tags)
         if kind == 0:
             parts.append(f"<{t}>")
@@ -112,6 +122,9 @@ def soup(draw):
         elif kind == 2:
             parts.append(draw(st.text(
                 alphabet="ab <>&;x\n\t\xa0", min_size=0, max_size=12)))
+        elif kind == 3:
+            parts.append(draw(st.sampled_from(
+                ["<!-- c -->", "<script>x<y</script>", "<style>.c{}</style>"])))
         else:
             parts.append(f'<{t} class="c d" id=\'{draw(st.integers(0, 9))}\'>')
     parts.append(draw(st.sampled_from(["", "</body></html>", "</body>", "</html>"])))
