@@ -50,10 +50,12 @@ spark.stop()
 """
 
 
-def run(cpus: int, replicate: int, sf_dir: str, trials: int = 2) -> dict:
+def run(cpus: int, replicate: int, sf_dir: str, trials: int | None = None) -> dict:
     """Best of ``trials`` fresh-JVM runs — the box shows ±20%
     noisy-neighbor variance at full width; max is the stable estimate
     of achievable throughput."""
+    if trials is None:
+        trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     best = None
     for _ in range(trials):
         out = subprocess.run(
