@@ -418,9 +418,12 @@ class _Fast:
             self._push(token)
             return
         if tag in FORMATTING_TAGS:
-            if tag == "a" and "a" in self.open_fmt:
+            if tag in ("a", "nobr") and tag in self.open_fmt:
+                # spec runs the adoption agency when an <a> is in the active
+                # formatting list / a <nobr> is in scope (treebuilder.py
+                # _in_body handles both); the fast lane must not nest them
                 raise _Bail           # adoption agency
-            if self.open_fmt.count(tag) >= (1 if tag == "a" else 3):
+            if self.open_fmt.count(tag) >= 3:
                 raise _Bail           # Noah's ark
             self._push(token)
             self.open_fmt.append(tag)

@@ -51,6 +51,10 @@ CASES = [
     "<!DOCTYPE html><html><head></head><body><p><b>x<div>y</div></b></body></html>",  # AFE bail
     "<!DOCTYPE html><html><head></head><body><a href='1'>x</a><a href='2'>y</a></body></html>",
     "<!DOCTYPE html><html><head></head><body><a>x<a>y</a></body></html>",  # nested a bail
+    "<!DOCTYPE html><html><head></head><body><nobr>x<nobr>y</body></html>",  # nobr AAA bail
+    "<!DOCTYPE html><html><head></head><body><nobr>a</nobr><nobr>b</nobr></body></html>",
+    "<!DOCTYPE html><html><head></head><body><b><b><b><b>deep</b></body></html>",  # Noah's ark
+    "<!DOCTYPE html><html><head></head><body><tt>a<u>b<s>c</s></u></tt></body></html>",
     "<!DOCTYPE html><html><head></head><body><table><tr><td>x</td></tr></table></body></html>",
     "<!DOCTYPE html><html><head></head><body><svg><circle/></svg></body></html>",
     "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>a{}</style>"
@@ -97,7 +101,10 @@ def test_differential_corpus():
 
 _tags = st.sampled_from(
     "div p span ul li b i a h1 h2 br table td form pre em strong section "
-    "dd dt dl hr img footer blockquote".split())
+    "dd dt dl hr img footer blockquote "
+    # full FORMATTING_TAGS set — the adoption-agency corner the fast lane
+    # must bail on (a round-1 nobr divergence hid here)
+    "nobr small big tt u s strike font code".split())
 
 _HEADS = [
     "<!DOCTYPE html><html><head></head><body>",
@@ -131,7 +138,35 @@ def soup(draw):
     return "".join(parts)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(soup())
 def test_differential_fuzz(src):
     assert_equal_trees(src)
+
+
+_fmt_tags = st.sampled_from(
+    "a nobr b i small big tt u s strike font code em strong div p".split())
+
+
+@st.composite
+def formatting_soup(draw):
+    """Formatting-heavy generator targeting adoption-agency bail paths."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 10))):
+        t = draw(_fmt_tags)
+        parts.append(draw(st.sampled_from([f"<{t}>", f"</{t}>", "x", " "])))
+    return "".join(parts)
+
+
+@settings(max_examples=400, deadline=None)
+@given(formatting_soup())
+def test_differential_fuzz_formatting(src):
+    assert_equal_trees(src)
+
+
+def test_nobr_fast_lane_bails():
+    # repeated <nobr> runs the adoption agency (WHATWG "in body", nobr rule);
+    # the fast lane must defer to the full machine
+    assert fastparse.try_parse(
+        "<!DOCTYPE html><html><head></head><body><nobr>x<nobr>y</body></html>"
+    ) is None
