@@ -183,9 +183,13 @@ UA_DISPLAY.update(
 
 
 def ua_display(tag: str, ns: int = NS_HTML) -> int:
-    """Default user-agent display for a tag (reference utils.c:225-230)."""
-    if ns != NS_HTML:
-        return DISPLAY_INLINE
+    """Default user-agent display for a tag (reference utils.c:225-230).
+
+    The reference switches on ``node->tag_id`` only — tag ids are assigned
+    by name regardless of namespace — so the lookup is deliberately
+    namespace-agnostic: ``<title>`` inside ``<svg>`` is display:none and
+    skipped by innerText exactly like a head ``<title>``.
+    """
     return UA_DISPLAY.get(tag, DISPLAY_INLINE)
 
 

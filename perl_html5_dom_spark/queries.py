@@ -400,6 +400,77 @@ def _roundtrip_kernel(batches):
         yield pd.DataFrame(out)
 
 
+# ---------------------------------------------------------------------------
+# hostile-HTML queries — the full insertion-mode machine under oracle check
+# (adoption agency, foster parenting, tbody synthesis, foreign content,
+# implied end tags; see sources/pages.py hostile template derivation)
+# ---------------------------------------------------------------------------
+
+def _hostile_pages(spark, sf_dir):
+    return pg.hostile_pages_df(spark, sf_dir)
+
+
+def q_hostile_serialize(spark, sf_dir):
+    """serialize(parse(hostile_html)) vs the hand-derived spec tree —
+    pins adoption-agency + fostering + tbody + foreign-content shape."""
+    return _hostile_pages(spark, sf_dir).select("url", "html").mapInPandas(
+        _serialize_kernel, schema="url string, html_out string")
+
+
+def _serialize_kernel(batches):
+    import pandas as pd
+
+    from .dom.serializer import serialize
+    from .operators.extract import parse_document
+
+    for pdf in batches:
+        out = {"url": [], "html_out": []}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            doc = parse_document(bytes(html))
+            out["url"].append(url)
+            out["html_out"].append(serialize(doc, doc.root))
+        yield pd.DataFrame(out)
+
+
+def q_hostile_inner_text(spark, sf_dir):
+    return ex.extract_pages(_hostile_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "inner_text"])
+
+
+def q_hostile_text_content(spark, sf_dir):
+    return ex.extract_pages(_hostile_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "text_content"])
+
+
+def q_hostile_node_counts(spark, sf_dir):
+    return ex.extract_pages(_hostile_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "n_nodes", "n_elements"])
+
+
+def q_compat_mode(spark, sf_dir):
+    """Quirks-mode table parity (reference compatMode, DOM.xs:1256-1268):
+    missing doctype and quirky public ids => BackCompat."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(pg.doctype_variant_select_sql(pg.SPARK, "__docs_src"))
+    return df.selectExpr("url", "encode(html_str, 'utf-8') as html").mapInPandas(
+        _compat_kernel, schema="url string, compat string")
+
+
+def _compat_kernel(batches):
+    import pandas as pd
+
+    from .operators.extract import parse_document
+
+    for pdf in batches:
+        out = {"url": [], "compat": []}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            doc = parse_document(bytes(html))
+            out["url"].append(url)
+            out["compat"].append("BackCompat" if doc.quirks else "CSS1Compat")
+        yield pd.DataFrame(out)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -437,6 +508,11 @@ QUERIES = {
     "serialize_roundtrip": q_serialize_roundtrip,
     "h1_text": q_h1_text,
     "h1_outer_html": q_h1_outer_html,
+    "hostile_serialize": q_hostile_serialize,
+    "hostile_inner_text": q_hostile_inner_text,
+    "hostile_text_content": q_hostile_text_content,
+    "hostile_node_counts": q_hostile_node_counts,
+    "compat_mode": q_compat_mode,
 }
 
 
@@ -604,6 +680,34 @@ ORACLES: dict[str, str] = {
     "h1_outer_html":
         f"{PAGES_CTE} select url, '<h1>Doc ' || cast(doc_id as varchar) || '</h1>' "
         f"as value from pages",
+    # hostile family: expected values hand-derived from the WHATWG tree
+    # construction spec (see sources/pages.py hostile template comment) —
+    # k = doc_id % 4 + 2 list items
+    "hostile_serialize":
+        "with pages as (" + pg.hostile_pages_cte() + ") select url, "
+        + pg.hostile_serialized_expr(pg.DUCK) + " as html_out from pages",
+    "hostile_inner_text":
+        "with pages as (" + pg.hostile_pages_cte() + ") select url, "
+        f"'intro ' || text || {NL} || {NL} || "
+        f"'bolddoc ' || cast(doc_id as varchar) || 'italic' || {NL} || "
+        f"repeat('item', doc_id % 4 + 2) || {NL} || "
+        f"'f' || cast(doc_id as varchar) || {NL} || "
+        f"'cell ' || cast(doc_id as varchar) || {NL} || "
+        f"'tail' || {NL} || {NL} as inner_text from pages",
+    "hostile_text_content":
+        "with pages as (" + pg.hostile_pages_cte() + ") select url, "
+        "'intro ' || text || 'bolddoc ' || cast(doc_id as varchar) || 'italic' "
+        "|| repeat('item', doc_id % 4 + 2) || 'f' || cast(doc_id as varchar) "
+        "|| 'cell ' || cast(doc_id as varchar) || 'hiddentail' "
+        "as text_content from pages",
+    "hostile_node_counts":
+        "with pages as (" + pg.hostile_pages_cte() + ") select url, "
+        "cast(27 + 2 * (doc_id % 4 + 2) as bigint) as n_nodes, "
+        "cast(17 + doc_id % 4 + 2 as bigint) as n_elements from pages",
+    "compat_mode":
+        "with pages as (" + pg.doctype_variant_select_sql(pg.DUCK, "documents")
+        + ") select url, case doc_id % 3 when 1 then 'CSS1Compat' "
+        "else 'BackCompat' end as compat from pages",
     "lang_id": None,        # built below (shared marker sets)
     "quality_scores": None,  # built below
     "token_counts":

@@ -138,6 +138,110 @@ def pages_cte(docs_rel: str = DOCUMENTS, replicate: int = 1) -> str:
     return pages_select_sql(DUCK, docs_rel, replicate)
 
 
+# ---------------------------------------------------------------------------
+# Hostile page family — parser-adversarial constructs with a DOM that is
+# still arithmetic-derivable, so DuckDB oracles can check the FULL
+# insertion-mode machine (adoption agency, foster parenting, implied end
+# tags, tbody synthesis, foreign content) without running our parser.
+#
+# Per page (k = doc_id % 4 + 2):
+#   <!DOCTYPE html><html><head></head><body>
+#     <p>intro {text}                       -- unclosed <p>, closed by <div>
+#     <div><b>bold<i>doc {id}</b>italic</i></div>
+#                                           -- misnesting: adoption agency
+#     <ul>{k x '<li>item'}</ul>             -- unclosed <li> chain
+#     <table>f{id}<tr><td>cell {id}</table> -- text fostered before table,
+#                                           -- implied <tbody>, unclosed td/tr
+#     <svg><title>hidden</title><circle/></svg>
+#                                           -- foreign content island
+#     <p>tail                               -- unclosed, closed by </body>
+#
+# Spec tree (WHATWG 13.2.6; adoption agency produces
+# <b>bold<i>doc N</i></b><i>italic</i> — the html5lib adoption01 shape the
+# reference passes, lib/HTML5/DOM.pod:3333):
+#   doctype, html, head, body,
+#   p["intro " text], div[b["bold", i["doc N"]], i["italic"]],
+#   ul[k x li["item"]], text "fN", table[tbody[tr[td["cell N"]]]],
+#   svg[title["hidden"], circle/], p["tail"]
+# => n_nodes = 27 + 2k (incl. document node), n_elements = 17 + k.
+# ---------------------------------------------------------------------------
+
+
+def hostile_html_expr(dialect: str, id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Hostile-template HTML as a SQL string expression (both dialects)."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<!DOCTYPE html><html><head></head><body>"
+        f"<p>intro ' || {text_col} || '"
+        f"<div><b>bold<i>doc ' || {i} || '</b>italic</i></div>"
+        f"<ul>' || repeat('<li>item', {id_col} % 4 + 2) || '</ul>"
+        f"<table>f' || {i} || '<tr><td>cell ' || {i} || '</table>"
+        f"<svg><title>hidden</title><circle/></svg>"
+        f"<p>tail</body></html>'"
+    )
+
+
+def hostile_serialized_expr(dialect: str, id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """The spec-conformant serialization of the hostile template — the
+    oracle for serialize(parse(html)) pinning the whole tree shape."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<!DOCTYPE html><html><head></head><body>"
+        f"<p>intro ' || {text_col} || '</p>"
+        f"<div><b>bold<i>doc ' || {i} || '</i></b><i>italic</i></div>"
+        f"<ul>' || repeat('<li>item</li>', {id_col} % 4 + 2) || '</ul>"
+        f"f' || {i} || '"
+        f"<table><tbody><tr><td>cell ' || {i} || '</td></tr></tbody></table>"
+        f"<svg><title>hidden</title><circle /></svg>"
+        f"<p>tail</p></body></html>'"
+    )
+
+
+def hostile_url_expr(dialect: str, id_col: str = "doc_id") -> str:
+    return f"'https://example.org/hostile/' || {cast_str(id_col, dialect)}"
+
+
+def hostile_select_sql(dialect: str, docs_rel: str) -> str:
+    return (
+        f"select doc_id, {hostile_url_expr(dialect)} as url, "
+        f"{hostile_html_expr(dialect)} as html_str, text from {docs_rel}"
+    )
+
+
+def hostile_pages_df(spark, sf_dir: str):
+    """Spark DataFrame (doc_id, url, html binary, text) of hostile pages."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(hostile_select_sql(SPARK, "__docs_src"))
+    return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
+
+
+def hostile_pages_cte(docs_rel: str = DOCUMENTS) -> str:
+    return hostile_select_sql(DUCK, docs_rel)
+
+
+# ---------------------------------------------------------------------------
+# Doctype-variant family — exercises the quirks-mode table
+# (treebuilder._doctype_quirks; reference compatMode DOM.xs:1256-1268).
+# doc_id % 3: 0 = no doctype (quirks), 1 = <!DOCTYPE html> (no-quirks),
+# 2 = HTML 4.01 Transitional public id, no system id (quirks per WHATWG).
+# ---------------------------------------------------------------------------
+
+def doctype_variant_select_sql(dialect: str, docs_rel: str) -> str:
+    u = hostile_url_expr(dialect)
+    dt = (
+        "case doc_id % 3 when 0 then '' when 1 then '<!DOCTYPE html>' "
+        "else '<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\">' end"
+    )
+    return (
+        f"select doc_id, {u} as url, {dt} || "
+        f"'<html><head></head><body><p>x</p></body></html>' as html_str "
+        f"from {docs_rel}"
+    )
+
+
 #: encoding variant per doc_id % 4 — exercises the sniffing pipeline
 #: (meta prescan for 1/2, BOM for 3; reference utils.c:620-649 order)
 ENCODING_VARIANTS = ["utf-8", "windows-1251", "koi8-r", "utf-16-le"]
