@@ -86,41 +86,57 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _minhash_wide(sh: DataFrame, num_perm: int = 16) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): all minhash rows in ONE partial-agg groupBy.
+
+    ``sh`` is the (doc_id, shingle) table.  md5 is computed once per
+    shingle in the projection below the aggregate; the ``num_perm`` mins
+    ride the same map-side combine — the shuffle carries one narrow row
+    per doc, not num_perm fan-out rows (the SimHash conditional-sum
+    pattern; replaces the round-1 broadcast-join fan-out that cost 54%
+    of the bench suite)."""
+    hashed = sh.selectExpr("doc_id", f"{H('shingle')} % {P} as hs")
+    aggs = []
+    for j in range(num_perm):
+        a, b = perm_params(j)
+        aggs.append(F.min(F.expr(f"({a} * hs + {b}) % {P}")).alias(f"mh{j}"))
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 16, k: int = 3) -> DataFrame:
     """(doc_id, j, mh): minhash row j of each doc's shingle set."""
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(
-        [(j, *perm_params(j)) for j in range(num_perm)], "j int, a bigint, b bigint"
-    )
-    # materialize hashed shingles BEFORE the 16-way perm fan-out:
-    # Catalyst otherwise collapses the projection below the join and
-    # computes md5+conv num_perm times per shingle
-    sh = _materialize(
-        _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} % {P} as hs"))
+    wide = _minhash_wide(_shingles(docs, k), num_perm)
+    pairs = ", ".join(f"'{j}', mh{j}" for j in range(num_perm))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_perm}, {pairs}) as (j, mh)"
+    ).selectExpr("doc_id", "cast(j as int) as j", "mh")
+
+
+def _band_keys(wide: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bk1, bk2) from the wide signature — a pure
+    projection + explode(bands), no aggregation.  Band keys are
+    order-insensitive weighted sums matching the DuckDB oracle
+    (sum(mh*(j+1)), sum(mh) over the band's global j range)."""
+    rows = num_perm // bands
+    entries = []
+    for b in range(bands):
+        js = range(b * rows, (b + 1) * rows)
+        bk1 = " + ".join(f"mh{j} * {j + 1}" for j in js)
+        bk2 = " + ".join(f"mh{j}" for j in js)
+        entries.append(
+            f"struct({b} as band, cast({bk1} as bigint) as bk1, "
+            f"cast({bk2} as bigint) as bk2)")
     return (
-        sh.join(F.broadcast(perms))
-        .selectExpr("doc_id", "j", f"(a * hs + b) % {P} as h")
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
+        wide.selectExpr("doc_id", f"explode(array({', '.join(entries)})) as s")
+        .selectExpr("doc_id", "s.band as band", "s.bk1 as bk1", "s.bk2 as bk2")
     )
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
                         k: int = 3) -> DataFrame:
     """(a, b) doc pairs sharing at least one LSH band bucket (a < b)."""
-    rows = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, k)
-    # collect_list has no order guarantee under shuffle — build the band
-    # key order-insensitively: two independent weighted sums of row hashes
-    buckets = (
-        sig.withColumn("band", (F.col("j") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.sum(F.expr("mh * (j + 1)")).alias("bk1"),
-            F.sum(F.expr("mh")).alias("bk2"),
-        )
-    )
-    buckets = _materialize(buckets)  # self-joined below
+    buckets = _materialize(  # self-joined below
+        _band_keys(_minhash_wide(_shingles(docs, k), num_perm), num_perm, bands))
     l, r = buckets.alias("l"), buckets.alias("r")
     return (
         l.join(r, ["band", "bk1", "bk2"])
@@ -149,13 +165,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
+                        threshold: float) -> DataFrame:
+    """(a, b, jaccard) from intersection counts + set sizes.
+
+    Filters on the UNROUNDED ratio (matching the oracle's order of
+    operations), then rounds for output."""
     return (
         inter
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-        .selectExpr("a", "b",
-                    "round(inter / (na + nb - inter), 6) as jaccard")
-        .filter(F.col("jaccard") >= threshold)
+        .selectExpr("a", "b", "inter / (na + nb - inter) as j_raw")
+        .filter(F.col("j_raw") >= threshold)
+        .selectExpr("a", "b", "round(j_raw, 6) as jaccard")
     )
 
 
@@ -164,26 +189,13 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     """LSH candidates → exact Jaccard verification (a, b, jaccard).
 
     One shingle explode feeds BOTH the signature build and the verify
-    join (materialized once); candidate generation mirrors
-    lsh_candidate_pairs on the shared table."""
-    spark = docs.sparkSession
-    rows = num_perm // bands
+    join (materialized once); signatures come from the single-pass wide
+    aggregate (_minhash_wide) and band keys from a pure projection — the
+    only shuffles are the signature groupBy, the bucket self-join, and
+    the verify equi-join."""
     sh = _materialize(_shingles(docs, k))  # sizes + verify join sides
-    perms = spark.createDataFrame(
-        [(j, *perm_params(j)) for j in range(num_perm)], "j int, a bigint, b bigint")
-    # materialize the hash projection too: Catalyst would collapse it
-    # below the perm fan-out and run md5+conv num_perm times per shingle
-    hs = _materialize(sh.selectExpr("doc_id", f"{H('shingle')} % {P} as hs"))
-    sig = (
-        hs.join(F.broadcast(perms))
-        .selectExpr("doc_id", "j", f"(a * hs + b) % {P} as h")
-        .groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
-    )
-    buckets = _materialize(
-        sig.withColumn("band", (F.col("j") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.expr("mh * (j + 1)")).alias("bk1"),
-             F.sum(F.expr("mh")).alias("bk2")))
+    buckets = _materialize(  # self-joined below
+        _band_keys(_minhash_wide(sh, num_perm), num_perm, bands))
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, ["band", "bk1", "bk2"])
@@ -199,13 +211,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-        .selectExpr("a", "b", "round(inter / (na + nb - inter), 6) as jaccard")
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

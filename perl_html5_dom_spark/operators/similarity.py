@@ -54,10 +54,12 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
 
 
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """(a, b, cosine ≥ threshold): embedding near-duplicate pairs.
+    """(a, b, cosine ≥ threshold): embedding near-duplicate pairs —
+    EXACT all-pairs, the small-scale gold standard.
 
-    Exact all-pairs at test scale; at 100 TB swap the self-join for
-    lsh_buckets-based candidate generation below."""
+    The self-join is a nested-loop cartesian: correct for oracle runs,
+    a scale-killer beyond them.  The production path at 100 TB is
+    ``cosine_near_dups_lsh`` below (equi-join on bucket keys, no NLJ)."""
     l = emb.selectExpr("vec_id as a", "embedding as va")
     r = emb.selectExpr("vec_id as b", "embedding as vb")
     return (
@@ -67,43 +69,115 @@ def cosine_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+#: plane component in [-1, 1]: 60-bit md5 hash of "plane:table:j:i" —
+#: exact integer arithmetic, reproducible bit-for-bit in DuckDB (see
+#: lsh_plane_component_duck)
+def _plane_component_spark(key: str) -> str:
+    return (
+        f"((cast(conv(substr(md5({key}), 1, 15), 16, 10) as bigint) % 2000001) "
+        f"- 1000000) / cast(1000000 as double)"
+    )
+
+
+def lsh_plane_component_duck(key: str) -> str:
+    """DuckDB twin of the Spark plane-component expression."""
+    return (
+        f"((cast(('0x' || substr(md5({key}), 1, 15)) as bigint) % 2000001) "
+        f"- 1000000) / cast(1000000 as double)"
+    )
+
+
 def lsh_buckets(emb: DataFrame, bits: int = 8, table: int = 0) -> DataFrame:
     """(vec_id, bucket): sign-random-projection bucket key.
 
-    Pseudo-hyperplane h_j has components derived from md5((table,j,i)) —
-    deterministic, shipped as a literal array, no RNG at runtime."""
-    import hashlib
+    Pseudo-hyperplane components are derived ENGINE-SIDE from
+    md5('plane:table:j:i') — no driver action, no dim×bits literal
+    arrays in the plan (the planes relation is built from a LIMIT 1
+    probe of the embedding length, then broadcast).  Per row the dot
+    products fan out bits× map-side; the groupBy shuffles one narrow
+    (vec_id, partial-sum) row per vector."""
+    comp = _plane_component_spark(
+        f"'plane:{table}:' || cast(j as string) || ':' || cast(i as string)")
+    planes = (
+        emb.selectExpr("size(embedding) as d").limit(1)
+        .selectExpr(f"explode(sequence(0, {bits - 1})) as j", "d")
+        .selectExpr("j", f"transform(sequence(0, d - 1), i -> {comp}) as plane")
+    )
+    dot = ("aggregate(zip_with(embedding, plane, (x, y) -> cast(x as double) * y), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    return (
+        emb.join(F.broadcast(planes))
+        .selectExpr(
+            "vec_id",
+            f"case when {dot} > 0 then shiftleft(cast(1 as bigint), j) "
+            f"else cast(0 as bigint) end as bit")
+        .groupBy("vec_id").agg(F.sum("bit").alias("bucket"))
+    )
 
-    dim = len(emb.select("embedding").first()[0])
-    planes = []
-    for j in range(bits):
-        comps = []
-        for i in range(dim):
-            d = hashlib.md5(f"{table}:{j}:{i}".encode()).digest()
-            v = int.from_bytes(d[:8], "big", signed=True) / 2**63
-            comps.append(v)
-        planes.append(comps)
-    parts = []
-    for j, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"cast({c:.9f} as double)" for c in plane) + ")"
-        dot = (f"aggregate(zip_with(embedding, {arr}, (x, y) -> cast(x as double) * y), "
-               f"cast(0.0 as double), (acc, v) -> acc + v)")
-        parts.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
-    return emb.selectExpr("vec_id", "embedding",
-                          "cast(" + " + ".join(parts) + " as bigint) as bucket")
+
+def lsh_buckets_duck(emb_rel: str = "embeddings", bits: int = 8,
+                     table: int = 0) -> str:
+    """DuckDB SELECT reproducing lsh_buckets exactly: (vec_id, bucket)."""
+    comp = lsh_plane_component_duck(
+        f"'plane:{table}:' || cast(j as varchar) || ':' || cast(i as varchar)")
+    return (
+        f"select vec_id, sum(case when dot > 0 then (cast(1 as bigint) << j) "
+        f"else cast(0 as bigint) end) as bucket from ("
+        f" select e.vec_id, p.j, list_sum(list_transform("
+        f"  generate_series(1, len(e.embedding)), "
+        f"  i -> e.embedding[i]::double * p.plane[i])) as dot "
+        f" from {emb_rel} e, ("
+        f"  select j, list_transform(generate_series(0, d - 1), i -> {comp}) "
+        f"  as plane from (select len(embedding) as d from {emb_rel} limit 1), "
+        f"  generate_series(0, {bits - 1}) g(j)) p"
+        f") group by vec_id"
+    )
+
+
+def cosine_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
+                         bits: int = 8, tables: int = 2) -> DataFrame:
+    """(a, b, cosine ≥ threshold) restricted to LSH candidate pairs —
+    the 100 TB near-dup path: bucket equi-joins generate candidates,
+    exact cosine verifies.  Approximate (a pair in no shared bucket is
+    missed); recall tunable via tables × bits.  Plan contains no
+    nested-loop join and no all-pairs shuffle."""
+    cand = None
+    for t in range(tables):
+        b = _materialize_small(lsh_buckets(emb, bits, t))
+        l = b.selectExpr("vec_id as a", "bucket")
+        r = b.selectExpr("vec_id as b", "bucket")
+        c = l.join(r, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+    return (
+        cand.join(emb.selectExpr("vec_id as a", "embedding as va"), "a")
+        .join(emb.selectExpr("vec_id as b", "embedding as vb"), "b")
+        .selectExpr("a", "b", COS.format(a="va", b="vb") + " as cosine")
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """persist + count a self-joined DataFrame (see dedup._materialize)."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def ann_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 5,
                  bits: int = 8, tables: int = 2) -> DataFrame:
     """Approximate top-k: union candidates from ``tables`` LSH tables,
-    exact cosine on candidates only (the IVF/LSH scale pattern)."""
+    exact cosine on candidates only (the IVF/LSH scale pattern).
+    Bucketing is md5-derived and engine-reproducible, so the DuckDB
+    oracle (queries.ann_topk_lsh_oracle_sql) checks this row-for-row."""
     cand = None
     for t in range(tables):
-        b = lsh_buckets(emb, bits, t)
+        b = _materialize_small(lsh_buckets(emb, bits, t))  # both join sides
         q = b.filter(F.col("vec_id").isin(query_ids)).selectExpr(
-            "vec_id as query_id", "bucket", "embedding as qv")
+            "vec_id as query_id", "bucket")
         c = (
-            b.join(q.select("query_id", "bucket").hint("broadcast"), "bucket")
+            b.join(q.hint("broadcast"), "bucket")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id")
         )

@@ -329,8 +329,23 @@ def q_cosine_near_dups(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    # approximate — rows-only check (no SQL oracle), by design
+    """Approximate top-k, fully oracle-checked: the md5-derived
+    bucketing is engine-reproducible, so DuckDB recomputes the same
+    candidates and the same exact-cosine ranking."""
     return sim.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def q_cosine_near_dups_lsh(spark, sf_dir):
+    """Scale path for embedding near-dups: LSH bucket equi-join
+    candidates + exact cosine verify — no nested-loop join in the plan."""
+    return sim.cosine_near_dups_lsh(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """The 100 TB jaccard path: stop-shingles dropped via max_df before
+    the shingle self-join (bounds the worst key's fan-out); the oracle
+    applies the identical cap."""
+    return dd.jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5, max_df=8)
 
 
 def q_h1_text(spark, sf_dir):
@@ -501,7 +516,9 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "ann_topk": q_ann_topk,
     "cosine_near_dups": q_cosine_near_dups,
+    "cosine_near_dups_lsh": q_cosine_near_dups_lsh,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "adjacent_sibling": q_adjacent_sibling,
     "general_sibling": q_general_sibling,
     "attr_include": q_attr_include,
@@ -739,6 +756,49 @@ ORACLES: dict[str, str] = {
         "  sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 6) "
         " as cosine from embeddings a join embeddings b on a.vec_id < b.vec_id) "
         "select a, b, cosine from p where cosine >= 0.3",
+    "cosine_near_dups_lsh":
+        f"with b0 as ({sim.lsh_buckets_duck(bits=8, table=0)}), "
+        f"b1 as ({sim.lsh_buckets_duck(bits=8, table=1)}), "
+        "cand as ("
+        " select l.vec_id as a, r.vec_id as b from b0 l join b0 r using (bucket) "
+        " where l.vec_id < r.vec_id "
+        " union "
+        " select l.vec_id as a, r.vec_id as b from b1 l join b1 r using (bucket) "
+        " where l.vec_id < r.vec_id), "
+        "p as (select c.a, c.b, round("
+        " list_sum(list_transform(generate_series(1, len(x.embedding)), "
+        "  i -> x.embedding[i]::double * y.embedding[i]::double)) / "
+        " (sqrt(list_sum(list_transform(x.embedding, v -> v::double * v::double))) * "
+        "  sqrt(list_sum(list_transform(y.embedding, v -> v::double * v::double)))), 6) "
+        " as cosine from cand c join embeddings x on x.vec_id = c.a "
+        " join embeddings y on y.vec_id = c.b) "
+        "select a, b, cosine from p where cosine >= 0.3",
+    "ann_topk_lsh":
+        f"with b0 as ({sim.lsh_buckets_duck(bits=8, table=0)}), "
+        f"b1 as ({sim.lsh_buckets_duck(bits=8, table=1)}), "
+        "cand as ("
+        " select q.vec_id as query_id, v.vec_id from b0 q join b0 v using (bucket) "
+        " where q.vec_id in (0, 1, 2) and v.vec_id <> q.vec_id "
+        " union "
+        " select q.vec_id as query_id, v.vec_id from b1 q join b1 v using (bucket) "
+        " where q.vec_id in (0, 1, 2) and v.vec_id <> q.vec_id), "
+        "q as (select vec_id as query_id, embedding as qv from embeddings "
+        " where vec_id in (0, 1, 2)), "
+        "scored as (select c.query_id, c.vec_id, round("
+        " list_sum(list_transform(generate_series(1, len(q.qv)), "
+        "  i -> q.qv[i]::double * e.embedding[i]::double)) / "
+        " (sqrt(list_sum(list_transform(q.qv, x -> x::double * x::double))) * "
+        "  sqrt(list_sum(list_transform(e.embedding, x -> x::double * x::double)))), 6) "
+        " as cosine from cand c join embeddings e on e.vec_id = c.vec_id "
+        " join q on q.query_id = c.query_id) "
+        "select query_id, cast(rank as bigint) as rank, vec_id, cosine from ("
+        " select *, row_number() over (partition by query_id "
+        "  order by cosine desc, vec_id) as rank from scored) where rank <= 5",
+    "dedup_jaccard_capped":
+        f"with corpus as ({CORPUS_SQL}), sh0 as ({_DUCK_SHINGLES}), "
+        "keep as (select shingle from sh0 group by shingle having count(*) <= 8), "
+        "sh as (select sh0.doc_id, sh0.shingle from sh0 join keep using (shingle)), "
+        + _JACCARD_TAIL.format(cand_join=""),
 }
 
 # lang_id oracle from the same marker table
