@@ -52,6 +52,41 @@ class HTML5DOM:
         doc.encoding = enc
         return _wrap(Tree(doc), frag)
 
+    def parseChunkStart(self) -> "ChunkedParse":
+        """Begin a chunked parse (reference DOM.xs:814-931). Chunks are
+        decoded with the parser's explicit/default encoding (no sniffing
+        across chunk boundaries)."""
+        return ChunkedParse(self)
+
+
+class ChunkedParse:
+    """parseChunk / parseChunkTree / parseChunkEnd chain."""
+
+    def __init__(self, parser: "HTML5DOM") -> None:
+        from .dom.chunked import ChunkedParser
+
+        self._parser = parser
+        self._cp = ChunkedParser()
+        name = parser.encoding or parser.default_encoding
+        self._codec = _enc.python_codec(name) or "utf-8"
+        self._name = name
+
+    def parseChunk(self, chunk) -> "ChunkedParse":
+        if isinstance(chunk, bytes):
+            chunk = chunk.decode(self._codec, "replace")
+        self._cp.parse_chunk(chunk)
+        return self
+
+    def parseChunkTree(self) -> Tree:
+        doc = self._cp.tree()
+        doc.encoding = self._name
+        return Tree(doc)
+
+    def parseChunkEnd(self) -> Tree:
+        doc = self._cp.end()
+        doc.encoding = self._name
+        return Tree(doc)
+
 
 def parse(html, **opts) -> Tree:
     return HTML5DOM(**opts).parse(html)

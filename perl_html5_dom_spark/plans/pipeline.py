@@ -11,10 +11,12 @@ At 100 TB:
   * ``salted_repartition`` breaks both url-hash hotspots and the
     giant-document skew (a 500 MB page must not serialize a straggler
     partition — the size bucket spreads heavy rows over the salt space).
-  * lineage rows are tiny (one per partition) and appended to a lineage
+  * lineage rows are tiny (one per bucket) and appended to a lineage
     table; ``resume_filter`` anti-joins completed buckets so a restarted
-    job re-reads only missing work — idempotent under retries because a
-    bucket is recorded only after its output commit.
+    job re-reads only missing work.  Idempotency comes from bucket-keyed
+    DYNAMIC PARTITION OVERWRITE on the output: a rerun of a bucket whose
+    data committed but whose lineage row did not (crash between the two)
+    REPLACES that bucket's partition instead of appending a second copy.
 """
 
 from __future__ import annotations
@@ -61,12 +63,26 @@ def extract_with_lineage(
     buckets: int = 64,
     batch_buckets: int = 16,
 ) -> dict:
-    """Checkpointed extraction: process work buckets in batches; after
-    each batch's output commit, append lineage rows (bucket, status,
-    n_urls, wall_s, ts).  A rerun with the same paths resumes from the
-    recorded lineage — only missing buckets are read and parsed.
+    """Checkpointed extraction: process work buckets in batches with
+    write-audit-publish per batch.
 
-    Returns run metrics {processed_buckets, skipped_buckets, n_urls}.
+    1. WRITE the batch's rows partitioned by ``_bucket`` with dynamic
+       partition overwrite — only the written buckets' partitions are
+       replaced, everything else is untouched.  A bucket that committed
+       data but crashed before its lineage row simply gets re-extracted
+       and OVERWRITTEN on rerun — zero duplicate rows, so the resume is
+       idempotent at every crash point.
+    2. AUDIT by reading back only this batch's committed partitions
+       (partition pruning — never the cumulative table) and counting
+       per bucket.
+    3. PUBLISH lineage rows (bucket, status, n_rows, wall_s, ts) only
+       after the audit.
+
+    ``extract_fn`` output must retain the ``url`` column (the bucket
+    key is recomputed on the output side so data and lineage agree).
+
+    Returns run metrics {processed_buckets, skipped_buckets, n_urls}
+    where n_urls counts rows committed by THIS run.
     """
     pages = pages.withColumn("_bucket", bucket_of(buckets=buckets))
     done = completed_buckets(spark, lineage_path)
@@ -76,19 +92,29 @@ def extract_with_lineage(
         chunk = todo[i:i + batch_buckets]
         t0 = time.time()
         batch = pages.filter(F.col("_bucket").isin(chunk))
-        out = extract_fn(batch.drop("_bucket"))
-        # write-audit-publish: data first ...
-        out.write.mode("append").parquet(output_path)
-        n = out.sparkSession.read.parquet(output_path).count()  # audit read
+        out = extract_fn(batch.drop("_bucket")).withColumn(
+            "_bucket", bucket_of(buckets=buckets))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(output_path)
+        )
+        # audit: committed files of THIS batch only
+        per_bucket = {
+            int(r["_bucket"]): int(r["n"]) for r in
+            spark.read.parquet(output_path)
+            .filter(F.col("_bucket").isin(chunk))
+            .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        }
         wall = time.time() - t0
-        # ... lineage only after the data commit → idempotent resume
-        rows = [(int(b), "done", int(n), float(round(wall, 3)),
-                 float(time.time())) for b in chunk]
+        rows = [(int(b), "done", per_bucket.get(int(b), 0),
+                 float(round(wall, 3)), float(time.time())) for b in chunk]
         spark.createDataFrame(
             rows, "bucket int, status string, n_rows bigint, wall_s double, ts double"
         ).write.mode("append").parquet(lineage_path)
         processed += len(chunk)
-        n_urls_total = n
+        n_urls_total += sum(per_bucket.values())
     return {
         "processed_buckets": processed,
         "skipped_buckets": len(done),

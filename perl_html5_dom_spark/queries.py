@@ -631,16 +631,24 @@ ORACLES: dict[str, str] = {
         f"{PAGES_CTE} select url, cast(strpos(html_str, '<a href=\"/\">') - 1 as bigint) "
         f"as begin from pages",
     "detect_encoding":
-        f"{PAGES_CTE} select url, case doc_id % 4 when 0 then 'UTF-8' "
-        f"when 1 then 'WINDOWS-1251' when 2 then 'KOI8-R' else 'UTF-16LE' end "
+        f"{PAGES_CTE} select url, case doc_id % 8 when 0 then 'UTF-8' "
+        f"when 1 then 'WINDOWS-1251' when 2 then 'KOI8-R' when 3 then 'UTF-16LE' "
+        f"when 4 then 'WINDOWS-1252' when 5 then 'ISO-8859-2' "
+        f"when 6 then 'UTF-16BE' else 'KOI8-U' end "
         f"as encoding from pages",
     "binary_meta":
-        f"{PAGES_CTE} select url, cast(case doc_id % 4 "
+        # size delta = len(meta label) - len('utf-8'); utf-16 = 2N + BOM
+        f"{PAGES_CTE} select url, cast(case doc_id % 8 "
         f"when 0 then length(html_str) "
-        f"when 1 then length(html_str) + 7 "   # utf-8 -> windows-1251 in meta
-        f"when 2 then length(html_str) + 1 "   # utf-8 -> koi8-r in meta
-        f"else 2 * length(html_str) + 2 end as bigint) as n_bytes, "
-        f"case when doc_id % 4 = 3 then 'utf16-bom' else 'html' end as kind from pages",
+        f"when 1 then length(html_str) + 7 "   # windows-1251
+        f"when 2 then length(html_str) + 1 "   # koi8-r
+        f"when 3 then 2 * length(html_str) + 2 "
+        f"when 4 then length(html_str) + 7 "   # windows-1252
+        f"when 5 then length(html_str) + 5 "   # iso-8859-2
+        f"when 6 then 2 * length(html_str) + 2 "
+        f"else length(html_str) + 1 end as bigint) as n_bytes, "  # koi8-u
+        f"case when doc_id % 8 in (3, 6) then 'utf16-bom' else 'html' end "
+        f"as kind from pages",
     "multimodal_meta":
         "select doc_id, cast(doc_id % 640 + 1 as bigint) as width, "
         "cast(doc_id % 480 + 1 as bigint) as height, "

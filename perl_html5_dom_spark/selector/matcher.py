@@ -12,9 +12,12 @@ Root-combinator override (2nd arg of find/at, utils.c:306-323):
 siblings, '^' begin (match from the scope node itself), '||' column.
 
 Pseudo-elements parse but match nothing, like the reference (SURVEY §2.2).
-Divergence note: the '||' column combinator is approximated as 'child'
-(the reference's Modest build wires it to a column walker; not exercised
-by its test suite).
+
+The '||' column combinator implements Selectors L4 §"column combinator"
+with the WHATWG table-grid algorithm (colspan/rowspan occupancy): the
+right side matches a td/th whose column range intersects the range of a
+col/colgroup matched by the left side in the same table (reference wires
+modest_finder_node_combinator_column, utils.c:306-310).
 """
 
 from __future__ import annotations
@@ -102,6 +105,120 @@ def matches(doc: Document, node: int, selector, scope: int | None = None) -> boo
 
 
 # ---------------------------------------------------------------------------
+# table grid for the '||' column combinator (Selectors L4; WHATWG
+# "forming a table" colspan/rowspan occupancy)
+# ---------------------------------------------------------------------------
+def _intattr(doc: Document, nid: int, name: str, default: int) -> int:
+    attrs = doc.attrs[nid]
+    v = attrs.get(name) if attrs else None
+    if v is None:
+        return default
+    try:
+        n = int(str(v).strip())
+    except ValueError:
+        return default
+    return n if n >= 0 else default
+
+
+def _ancestor_table(doc: Document, nid: int) -> int:
+    p = doc.parent[nid]
+    while p != NULL:
+        if doc.node_type[p] == ELEMENT_NODE and doc.tag[p] == "table":
+            return p
+        p = doc.parent[p]
+    return NULL
+
+
+def _table_rows(doc: Document, table: int) -> list[int]:
+    rows = []
+    for sec in doc.element_children(table):
+        t = doc.tag[sec]
+        if t == "tr":
+            rows.append(sec)
+        elif t in ("thead", "tbody", "tfoot"):
+            rows.extend(r for r in doc.element_children(sec)
+                        if doc.tag[r] == "tr")
+    return rows
+
+
+def _table_grid(doc: Document, table: int) -> dict[int, tuple[int, int]]:
+    """cell node -> (column start, colspan) with rowspan occupancy."""
+    grid: dict[int, tuple[int, int]] = {}
+    occ: dict[int, int] = {}  # column -> rows it stays blocked
+    for tr in _table_rows(doc, table):
+        x = 0
+        new: dict[int, int] = {}
+        for cell in doc.element_children(tr):
+            if doc.tag[cell] not in ("td", "th"):
+                continue
+            while occ.get(x, 0) > 0:
+                x += 1
+            cs = max(1, _intattr(doc, cell, "colspan", 1))
+            rs = _intattr(doc, cell, "rowspan", 1)
+            grid[cell] = (x, cs)
+            if rs != 1:
+                block = 1 << 30 if rs == 0 else rs - 1
+                for cc in range(x, x + cs):
+                    new[cc] = max(new.get(cc, 0), block)
+            x += cs
+        occ = {c: r - 1 for c, r in occ.items() if r > 1}
+        for c, r in new.items():
+            occ[c] = max(occ.get(c, 0), r)
+    return grid
+
+
+def _table_columns(doc: Document, table: int) -> list[tuple[int, int, int]]:
+    """(col-or-colgroup node, column start, span) in document order."""
+    out = []
+    x = 0
+    for g in doc.element_children(table):
+        t = doc.tag[g]
+        if t == "col":
+            span = max(1, _intattr(doc, g, "span", 1))
+            out.append((g, x, span))
+            x += span
+        elif t == "colgroup":
+            cols = [c for c in doc.element_children(g) if doc.tag[c] == "col"]
+            if not cols:
+                span = max(1, _intattr(doc, g, "span", 1))
+                out.append((g, x, span))
+                x += span
+            else:
+                gx = x
+                for c in cols:
+                    span = max(1, _intattr(doc, c, "span", 1))
+                    out.append((c, x, span))
+                    x += span
+                out.append((g, gx, x - gx))
+    return out
+
+
+def _column_range(doc: Document, el: int) -> tuple[int, int] | None:
+    table = _ancestor_table(doc, el)
+    if table == NULL:
+        return None
+    for node, x, span in _table_columns(doc, table):
+        if node == el:
+            return (x, span)
+    return None
+
+
+def _column_cells(doc: Document, el: int) -> list[int]:
+    """Cells of el's column(s), document order (el is col/colgroup)."""
+    rng = _column_range(doc, el)
+    if rng is None:
+        return []
+    c0, span = rng
+    table = _ancestor_table(doc, el)
+    grid = _table_grid(doc, table)
+    doc.ensure_order()
+    cells = [cell for cell, (x, cs) in grid.items()
+             if x < c0 + span and c0 < x + cs]
+    cells.sort(key=lambda n: doc.order_pos[n])
+    return cells
+
+
+# ---------------------------------------------------------------------------
 # candidate enumeration per root combinator
 # ---------------------------------------------------------------------------
 def _candidates(doc: Document, scope: int, comb: str) -> list[int]:
@@ -109,7 +226,9 @@ def _candidates(doc: Document, scope: int, comb: str) -> list[int]:
     if comb == "descendant":
         return [n for n in doc.iter_subtree(scope, include_self=False)
                 if nt[n] == ELEMENT_NODE]
-    if comb in ("child", "column"):
+    if comb == "column":
+        return _column_cells(doc, scope)
+    if comb == "child":
         return doc.element_children(scope)
     if comb == "sibling":
         n = doc.next_sib[scope]
@@ -142,7 +261,25 @@ def _match_left(doc: Document, node: int, steps, k: int, scope) -> bool:
     comb = steps[k][0]
     prev = steps[k - 1][1]
     nt = doc.node_type
-    if comb in ("child", "column", "begin"):
+    if comb == "column":
+        # node must be a cell whose column range intersects a
+        # col/colgroup matched by the left-hand compound (same table)
+        if doc.tag[node] not in ("td", "th"):
+            return False
+        table = _ancestor_table(doc, node)
+        if table == NULL:
+            return False
+        rng = _table_grid(doc, table).get(node)
+        if rng is None:
+            return False
+        x, cs = rng
+        for colel, c0, span in _table_columns(doc, table):
+            if x < c0 + span and c0 < x + cs and \
+                    _match_compound(doc, colel, prev, scope) and \
+                    _match_left(doc, colel, steps, k - 1, scope):
+                return True
+        return False
+    if comb in ("child", "begin"):
         p = doc.parent[node]
         if p == NULL or nt[p] != ELEMENT_NODE:
             return False
@@ -372,6 +509,12 @@ def _match_func(doc: Document, node: int, s, scope) -> bool:
     if name == "dir":
         val = _inherited_attr(doc, node, "dir")
         return val is not None and val.lower() == payload
+    if name == "drop":
+        # :drop() reflects live drag-and-drop state (old HTML drag spec);
+        # a static DOM has no active drop targets, so it parses (exposed
+        # in the AST like the reference, DOM.xs:565-666) and matches
+        # nothing — pinned by tests/test_selectors.py
+        return False
     return False
 
 

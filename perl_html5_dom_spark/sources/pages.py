@@ -242,15 +242,26 @@ def doctype_variant_select_sql(dialect: str, docs_rel: str) -> str:
     )
 
 
-#: encoding variant per doc_id % 4 — exercises the sniffing pipeline
-#: (meta prescan for 1/2, BOM for 3; reference utils.c:620-649 order)
-ENCODING_VARIANTS = ["utf-8", "windows-1251", "koi8-r", "utf-16-le"]
+#: encoding variant per doc_id % 8 — exercises the sniffing pipeline
+#: (meta prescan for the single-byte charsets, BOM for utf-16 LE/BE;
+#: reference utils.c:620-649 order).  (canonical name, meta label or
+#: None for BOM, python codec)
+ENCODING_VARIANTS = [
+    ("UTF-8", "utf-8", "utf-8"),
+    ("WINDOWS-1251", "windows-1251", "windows-1251"),
+    ("KOI8-R", "koi8-r", "koi8-r"),
+    ("UTF-16LE", None, "utf-16-le"),
+    ("WINDOWS-1252", "windows-1252", "windows-1252"),
+    ("ISO-8859-2", "iso-8859-2", "iso8859-2"),
+    ("UTF-16BE", None, "utf-16-be"),
+    ("KOI8-U", "koi8-u", "koi8-u"),
+]
 
 
 def encoded_pages_df(spark, sf_dir: str):
-    """Pages with html bytes in rotating encodings (doc_id % 4):
-    utf-8 | windows-1251 (meta rewritten) | koi8-r (meta rewritten) |
-    utf-16-le with BOM.  Byte encoding happens in the Arrow kernel —
+    """Pages with html bytes rotating over 8 encodings (doc_id % 8):
+    single-byte charsets get their ``<meta charset>`` label rewritten,
+    utf-16 LE/BE get a BOM.  Byte encoding happens in the Arrow kernel —
     Spark's ``encode()`` only supports unicode charsets."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("__docs_src")
@@ -264,17 +275,20 @@ def encoded_pages_df(spark, sf_dir: str):
         for pdf in batches:
             out = {"doc_id": [], "url": [], "html": []}
             for did, url, s in zip(pdf["doc_id"], pdf["url"], pdf["html_str"]):
-                v = int(did) % 4
-                if v == 1:
-                    b = s.replace('charset="utf-8"', 'charset="windows-1251"')\
-                        .encode("windows-1251")
-                elif v == 2:
-                    b = s.replace('charset="utf-8"', 'charset="koi8-r"')\
-                        .encode("koi8-r")
-                elif v == 3:
-                    b = codecs.BOM_UTF16_LE + s.encode("utf-16-le")
-                else:
+                _, label, codec = ENCODING_VARIANTS[int(did) % 8]
+                if label is None:
+                    bom = (codecs.BOM_UTF16_LE if codec == "utf-16-le"
+                           else codecs.BOM_UTF16_BE)
+                    b = bom + s.encode(codec)
+                elif codec == "utf-8":
                     b = s.encode("utf-8")
+                else:
+                    # errors='replace': a real corpus has chars outside
+                    # the legacy charsets; '?' is 1 byte so the
+                    # binary_meta oracle's size arithmetic is unchanged
+                    b = s.replace('charset="utf-8"',
+                                  f'charset="{label}"').encode(
+                        codec, errors="replace")
                 out["doc_id"].append(int(did))
                 out["url"].append(url)
                 out["html"].append(b)

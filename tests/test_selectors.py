@@ -195,3 +195,67 @@ def test_ast_shapes():
     fn = parse_selector("p:not(.x, #y)").to_ast()[0][-1]
     assert fn["type"] == "function" and fn["name"] == "not"
     assert isinstance(fn["value"], list) and len(fn["value"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# '||' column combinator — Selectors L4 semantics over the WHATWG table
+# grid (colspan/rowspan occupancy).  Reference wires Modest's column
+# walker (utils.c:306-310); expected sets derived from the spec.
+# ---------------------------------------------------------------------------
+_COL_TABLE = """
+<table>
+  <colgroup><col id="c1"><col id="c2" span="2"></colgroup>
+  <tr><td id="a">1</td><td id="b">2</td><td id="c">3</td></tr>
+  <tr><td id="d" colspan="2">45</td><td id="e">6</td></tr>
+  <tr><td id="f" rowspan="2">x</td><td id="g" colspan="2">y</td></tr>
+  <tr><td id="h">z</td></tr>
+</table>"""
+
+
+def _ids(col):
+    return sorted(n.attr("id") for n in col)
+
+
+def test_column_combinator_basic():
+    t = HTML5DOM().parse(_COL_TABLE)
+    # col c1 covers column 0: a, d (spans 0-1), f
+    assert _ids(t.find("#c1 || td")) == ["a", "d", "f"]
+    # col c2 spans columns 1-2: b, c, d (overlap at col 1), e, g, h
+    # (h lands in column 1 because f's rowspan occupies column 0)
+    assert _ids(t.find("#c2 || td")) == ["b", "c", "d", "e", "g", "h"]
+
+
+def test_column_combinator_colgroup_without_cols():
+    t = HTML5DOM().parse(
+        '<table><colgroup id="g" span="2"></colgroup>'
+        '<tr><td id="a">1</td><td id="b">2</td><td id="c">3</td></tr></table>')
+    assert _ids(t.find("#g || td")) == ["a", "b"]
+
+
+def test_column_root_combinator_override():
+    # find(sel, '||') applies the column combinator to the scope node
+    t = HTML5DOM().parse(_COL_TABLE)
+    col = t.at("#c1")
+    assert _ids(col.find("td", "||")) == ["a", "d", "f"]
+
+
+def test_column_combinator_requires_same_table():
+    t = HTML5DOM().parse(
+        '<table><colgroup><col id="c1"></colgroup>'
+        '<tr><td id="a">1</td></tr></table>'
+        '<table><tr><td id="z">2</td></tr></table>')
+    assert _ids(t.find("#c1 || td")) == ["a"]
+
+
+def test_drop_parses_and_matches_nothing():
+    """:drop() parses and is exposed in the AST (reference
+    DOM.xs:565-666) but matches nothing in a static DOM — there is no
+    live drag-and-drop state."""
+    sel = parse_selector("input:drop(active valid)")
+    assert sel.valid is True
+    fn = sel.to_ast()[0][-1]
+    assert fn["type"] == "function" and fn["name"] == "drop"
+    t = HTML5DOM().parse('<form><input type="text"></form>')
+    assert t.find("input:drop()").length() == 0
+    assert t.find("input:drop(active)").length() == 0
+    assert t.find("input").length() == 1

@@ -90,14 +90,50 @@ def test_lineage_resume(spark, pages, tmp_path):
         spark, small, out, lin, lambda df: extract_pages(df, None),
         buckets=8, batch_buckets=4)
     assert m1["processed_buckets"] == 8 and m1["skipped_buckets"] == 0
+    assert m1["n_urls"] == 50
     assert spark.read.parquet(out).count() == 50
+    # per-bucket audit counts must sum to the table (not cumulative totals)
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_rows")).first()[0] == 50
     # resume: everything already recorded → nothing replays
     m2 = extract_with_lineage(
         spark, small, out, lin, lambda df: extract_pages(df, None),
         buckets=8, batch_buckets=4)
     assert m2["processed_buckets"] == 0 and m2["skipped_buckets"] == 8
+    assert m2["n_urls"] == 0
     assert spark.read.parquet(out).count() == 50  # no duplicates appended
     assert resume_filter(spark, small, lin, buckets=8).count() == 0
+
+
+def test_lineage_crash_between_commits_is_idempotent(spark, pages, tmp_path):
+    """Kill-between-commits: data committed for a bucket but its lineage
+    row lost (crash between the WRITE and PUBLISH steps).  The rerun
+    must re-extract that bucket and OVERWRITE its partition — the output
+    must contain zero duplicate rows and the audit counts must be
+    per-bucket correct."""
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.plans.pipeline import extract_with_lineage
+
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    small = pages.limit(50).persist()
+    extract_with_lineage(
+        spark, small, out, lin, lambda df: extract_pages(df, None),
+        buckets=8, batch_buckets=4)
+    # simulate the crash state: drop the lineage rows of half the buckets
+    # while their data partitions remain committed
+    survivors = spark.read.parquet(lin).filter(F.col("bucket") >= 4)
+    survivors = spark.createDataFrame(
+        survivors.collect(), schema=survivors.schema)
+    survivors.write.mode("overwrite").parquet(lin)
+    m = extract_with_lineage(
+        spark, small, out, lin, lambda df: extract_pages(df, None),
+        buckets=8, batch_buckets=4)
+    assert m["processed_buckets"] == 4 and m["skipped_buckets"] == 4
+    got = spark.read.parquet(out)
+    assert got.count() == 50                      # no duplicates
+    assert got.select("url").distinct().count() == 50
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_rows")).first()[0] == 50
 
 
 def test_salted_repartition_deterministic(spark, pages):
