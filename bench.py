@@ -45,8 +45,16 @@ def main() -> None:
     from perl_html5_dom_spark.queries import CORPUS_SQL
     from perl_html5_dom_spark.sources.pages import pages_df
 
-    pages = pages_df(spark, sf_dir, replicate=replicate, partitions=cpus * 2)
-    pages = pages.persist()
+    # pages fed from parquet — the 100 TB input shape (Iceberg/parquet
+    # scan), and the cheap path on one box: the vectorized parquet read
+    # costs far less JVM CPU than an InMemoryRelation scan, CPU that
+    # otherwise competes with the Python kernels at full width
+    import tempfile
+
+    _pages_path = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
+    pages_df(spark, sf_dir, replicate=replicate,
+             partitions=cpus * 2).write.parquet(_pages_path)
+    pages = spark.read.parquet(_pages_path)
     n_docs = pages.count()
 
     # warm the Python workers (daemon fork + pandas/pyarrow import) so
@@ -74,11 +82,18 @@ def main() -> None:
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
           .count())
-    # q3: node table explode + relational structural join
+    # q3: node table explode + relational structural join.  The node
+    # table is materialized to parquet ONCE and both join sides read the
+    # files: on this box a parquet re-read outscans the deserialized
+    # InMemoryRelation ~3x, and at 100 TB the checkpointed node table is
+    # what serves many downstream structural queries anyway.
     def _nodes_join():
-        nd = nodes.nodes_df(pages, elements_only=True,
-                            columns=["url", "node_id", "parent_id", "tag"]).persist()
-        nd.count()  # materialize: self-join must not parse twice
+        import tempfile
+        path = tempfile.mkdtemp(prefix="bench_nodes_") + "/nd"
+        nodes.nodes_df(pages, elements_only=True,
+                       columns=["url", "node_id", "parent_id", "tag"]
+                       ).write.parquet(path)
+        nd = spark.read.parquet(path)
         child = nd.select("url", "parent_id")
         parent = nd.select("url", F.col("node_id").alias("parent_id"),
                            F.col("tag").alias("parent_tag"))

@@ -36,6 +36,7 @@ _COLS = [c.split(" ")[0] for c in NODES_SCHEMA.split(", ")]
 
 
 def doc_node_rows(url: str, html) -> list[tuple]:
+    """Row-tuple form of one document's node table (tests/debug)."""
     doc = parse_document(html)
     order = doc.order
     pos = doc.order_pos
@@ -64,28 +65,80 @@ def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
     ``columns`` prunes the output inside the kernel (the analog of the
     reference's lazy node materialization, DOM.xs:159-180): structural
     queries that never read ``attrs``/``text`` skip building the
-    expensive map/string Arrow columns entirely."""
-    if columns is None:
-        cols, schema = _COLS, NODES_SCHEMA
-    else:
-        keep = [c for c in _COLS if c in set(columns) | {"url"}]
-        idx = [_COLS.index(c) for c in keep]
-        cols = keep
-        schema = ", ".join(
-            p for p in NODES_SCHEMA.split(", ") if p.split(" ")[0] in keep)
+    expensive map/string Arrow columns entirely.
+
+    Construction is COLUMNAR: the kernel appends straight into per-column
+    lists (the Document already stores struct-of-arrays), so unrequested
+    columns cost nothing and pandas never pivots a row list."""
+    keep = (_COLS if columns is None
+            else [c for c in _COLS if c in set(columns) | {"url"}])
+    schema = (NODES_SCHEMA if columns is None else ", ".join(
+        p for p in NODES_SCHEMA.split(", ") if p.split(" ")[0] in set(keep)))
+    want = set(keep)
 
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows: list[tuple] = []
+            data: dict[str, list] = {c: [] for c in keep}
             for url, html in zip(pdf["url"], pdf["html"]):
-                r = doc_node_rows(url, html)
+                doc = parse_document(html)
+                order = doc.order
                 if elements_only:
-                    r = [t for t in r if t[8] == ELEMENT_NODE]
-                if columns is not None:
-                    r = [tuple(t[i] for i in idx) for t in r]
-                rows.extend(r)
-            yield pd.DataFrame(rows, columns=cols)
+                    nt = doc.node_type
+                    nids = [n for n in order if nt[n] == ELEMENT_NODE]
+                else:
+                    nids = order
+                if "url" in want:
+                    data["url"].extend([url] * len(nids))
+                if "node_id" in want:
+                    data["node_id"].extend(nids)
+                if "parent_id" in want:
+                    par = doc.parent
+                    data["parent_id"].extend(
+                        par[n] if par[n] != -1 else None for n in nids)
+                if "ord" in want:
+                    pos = doc.order_pos
+                    data["ord"].extend(pos[n] for n in nids)
+                if "subtree_end" in want:
+                    end = doc.subtree_end
+                    data["subtree_end"].extend(end[n] for n in nids)
+                if "depth" in want:
+                    par = doc.parent
+                    depth = {doc.root: 0}
+                    for n in order:  # depth needs every ancestor
+                        depth[n] = depth.get(par[n], -1) + 1
+                    data["depth"].extend(depth[n] for n in nids)
+                if "tag" in want:
+                    tag = doc.tag
+                    data["tag"].extend(tag[n] for n in nids)
+                if "ns" in want:
+                    ns = doc.ns
+                    data["ns"].extend(ns[n] for n in nids)
+                if "node_type" in want:
+                    nt = doc.node_type
+                    data["node_type"].extend(nt[n] for n in nids)
+                if "text" in want:
+                    text = doc.text
+                    data["text"].extend(text[n] for n in nids)
+                if "attrs" in want:
+                    attrs = doc.attrs
+                    data["attrs"].extend(attrs[n] for n in nids)
+                if "self_closed" in want:
+                    sc = doc.self_closed
+                    data["self_closed"].extend(bool(sc[n]) for n in nids)
+                if "raw_begin" in want:
+                    rb = doc.raw_begin
+                    data["raw_begin"].extend(rb[n] for n in nids)
+                if "raw_length" in want:
+                    rl = doc.raw_length
+                    data["raw_length"].extend(rl[n] for n in nids)
+                if "elem_begin" in want:
+                    eb = doc.elem_begin
+                    data["elem_begin"].extend(eb[n] for n in nids)
+                if "elem_length" in want:
+                    el = doc.elem_length
+                    data["elem_length"].extend(el[n] for n in nids)
+            yield pd.DataFrame(data, columns=keep)
 
     return df.select("url", "html").mapInPandas(run, schema=schema)
