@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from .operators import dedup as dd
+from .operators import events as ev
 from .operators import extract as ex
 from .operators import nodes as nd
 from .operators import selector_ops as so
@@ -462,6 +463,21 @@ def q_hostile_node_counts(spark, sf_dir):
                             fields=["url", "n_nodes", "n_elements"])
 
 
+def q_entity_text(spark, sf_dir):
+    """Character-reference decoding (named/numeric/legacy refs incl.
+    a&copyb and &notit;) under oracle check."""
+    return ex.extract_pages(pg.entity_pages_df(spark, sf_dir),
+                            span_selector=None,
+                            fields=["url", "text_content"])
+
+
+def q_entity_serialize(spark, sf_dir):
+    """Entity re-escaping on serialization: text & < > re-escape (quotes
+    don't), attrs re-escape & and double quote."""
+    return pg.entity_pages_df(spark, sf_dir).select("url", "html").mapInPandas(
+        _serialize_kernel, schema="url string, html_out string")
+
+
 def q_compat_mode(spark, sf_dir):
     """Quirks-mode table parity (reference compatMode, DOM.xs:1256-1268):
     missing doctype and quirky public ids => BackCompat."""
@@ -484,6 +500,28 @@ def _compat_kernel(batches):
             out["url"].append(url)
             out["compat"].append("BackCompat" if doc.quirks else "CSS1Compat")
         yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# event-stream queries (events table: event_id, ts, user_id, event_type,
+# value, props) — see operators/events.py; the stateful streaming twin of
+# sessionize is pytest-verified (tests/test_events.py)
+# ---------------------------------------------------------------------------
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark, sf_dir):
+    return ev.sessionize(_events(spark, sf_dir))
+
+
+def q_events_windowed(spark, sf_dir):
+    return ev.windowed_counts(_events(spark, sf_dir))
+
+
+def q_events_json(spark, sf_dir):
+    return ev.json_props(_events(spark, sf_dir))
 
 
 QUERIES = {
@@ -530,6 +568,11 @@ QUERIES = {
     "hostile_text_content": q_hostile_text_content,
     "hostile_node_counts": q_hostile_node_counts,
     "compat_mode": q_compat_mode,
+    "entity_text": q_entity_text,
+    "entity_serialize": q_entity_serialize,
+    "sessionize": q_sessionize,
+    "events_windowed": q_events_windowed,
+    "events_json": q_events_json,
 }
 
 
@@ -807,6 +850,17 @@ ORACLES: dict[str, str] = {
         "keep as (select shingle from sh0 group by shingle having count(*) <= 8), "
         "sh as (select sh0.doc_id, sh0.shingle from sh0 join keep using (shingle)), "
         + _JACCARD_TAIL.format(cand_join=""),
+    "sessionize": ev.sessionize_duck(),
+    "events_windowed": ev.windowed_counts_duck(),
+    "events_json": ev.json_props_duck(),
+    "entity_text":
+        "with pages as (" + pg.entity_select_sql(pg.DUCK, "documents")
+        + ") select url, " + pg.entity_text_content_expr()
+        + " as text_content from pages",
+    "entity_serialize":
+        "with pages as (" + pg.entity_select_sql(pg.DUCK, "documents")
+        + ") select url, " + pg.entity_serialized_expr()
+        + " as html_out from pages",
 }
 
 # lang_id oracle from the same marker table

@@ -223,6 +223,62 @@ def hostile_pages_cte(docs_rel: str = DOCUMENTS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Entity family — character-reference decoding under oracle check
+# (tokenizer named/numeric/legacy refs + serializer re-escaping; reference
+# behavior t/0-api.t:122, DOM.pod:1044-1046).  The soup covers: named
+# (&amp; &lt; &gt; &quot; &nbsp; &copy; &hellip;), numeric (&#39;), the
+# legacy no-semicolon form inside a word (a&copyb -> a(c)b) and the
+# spec's famous &notit; -> (not)it; longest-match case.
+# ---------------------------------------------------------------------------
+
+_ENTITY_SOUP_SRC = (
+    "x &amp; y &lt;z&gt; &quot;q&#39; &nbsp;&copy;&hellip; a&copyb &notit; "
+)
+_ENTITY_SOUP_DECODED = "x & y <z> \"q' \xa0©… a©b ¬it; "
+_ENTITY_SOUP_SERIALIZED = (
+    "x &amp; y &lt;z&gt; \"q' &nbsp;©… a©b ¬it; "
+)
+_ENTITY_ANCHOR = '<a href="/?a=1&amp;b=2" title="x&quot;y">l</a>'
+
+
+def _q(s: str) -> str:
+    """SQL string-literal body (single quotes doubled)."""
+    return s.replace("'", "''")
+
+
+def entity_select_sql(dialect: str, docs_rel: str) -> str:
+    u = f"'https://example.org/entity/' || {cast_str('doc_id', dialect)}"
+    html = (
+        f"'<!DOCTYPE html><html><head></head><body>"
+        f"<p>{_q(_ENTITY_SOUP_SRC)}' || text || '</p>"
+        f"{_q(_ENTITY_ANCHOR)}</body></html>'"
+    )
+    return (f"select doc_id, {u} as url, {html} as html_str, text "
+            f"from {docs_rel}")
+
+
+def entity_pages_df(spark, sf_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(entity_select_sql(SPARK, "__docs_src"))
+    return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html")
+
+
+def entity_text_content_expr() -> str:
+    """DuckDB expression: expected body textContent of an entity page."""
+    return f"'{_q(_ENTITY_SOUP_DECODED)}' || text || 'l'"
+
+
+def entity_serialized_expr() -> str:
+    """DuckDB expression: expected serialize(parse(entity page))."""
+    return (
+        f"'<!DOCTYPE html><html><head></head><body>"
+        f"<p>{_q(_ENTITY_SOUP_SERIALIZED)}' || text || '</p>"
+        f"{_q(_ENTITY_ANCHOR)}</body></html>'"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Doctype-variant family — exercises the quirks-mode table
 # (treebuilder._doctype_quirks; reference compatMode DOM.xs:1256-1268).
 # doc_id % 3: 0 = no doctype (quirks), 1 = <!DOCTYPE html> (no-quirks),
