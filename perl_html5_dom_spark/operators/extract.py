@@ -67,7 +67,29 @@ def _is_blocked(doc: Document, nid: int) -> bool:
     return False
 
 
-def _subtree_stats(doc: Document):
+def _blocked_array(doc: Document) -> list[bool]:
+    """blocked[] computed once per document — _subtree_stats, candidate
+    scoring and the paragraph walk all consult it (was the #1 cost of
+    select_main_node when evaluated per child per pass)."""
+    n = len(doc.parent)
+    out = [False] * n
+    tag, attrs_arr, node_type = doc.tag, doc.attrs, doc.node_type
+    block_tags, cls_re = BLOCK_TAGS, BLOCK_CLASS_RE
+    for nid in range(n):
+        if node_type[nid] != ELEMENT_NODE:
+            continue
+        if tag[nid] in block_tags:
+            out[nid] = True
+            continue
+        attrs = attrs_arr[nid]
+        if attrs:
+            blob = (attrs.get("class") or "") + " " + (attrs.get("id") or "")
+            if blob.strip() and cls_re.search(blob):
+                out[nid] = True
+    return out
+
+
+def _subtree_stats(doc: Document, blocked: list[bool]):
     """Per-node (text_len, link_text_len, p_text_len) with blocked
     subtrees contributing nothing — ONE bottom-up pass over the flat
     arrays (reverse pre-order), so candidate scoring is O(n) total
@@ -86,7 +108,7 @@ def _subtree_stats(doc: Document):
         t = l = p = 0
         c = first_child[nid]
         while c != -1:
-            if node_type[c] != ELEMENT_NODE or not _is_blocked(doc, c):
+            if not blocked[c]:
                 t += tl[c]
                 l += ll[c]
                 p += pl[c]
@@ -103,7 +125,7 @@ def _subtree_stats(doc: Document):
     return tl, ll, pl
 
 
-def select_main_node(doc: Document) -> int:
+def select_main_node(doc: Document, blocked: list[bool] | None = None) -> int:
     """Pick the main-content container: the candidate element with the
     highest boilerplate-discounted text density score.
 
@@ -112,18 +134,21 @@ def select_main_node(doc: Document) -> int:
     ties so we don't always answer <body>.
     """
     order = doc.order
-    depth = {doc.root: 0}
+    parent = doc.parent
+    depth = [0] * len(parent)
     for nid in order:
-        p = doc.parent[nid]
-        depth[nid] = depth.get(p, 0) + 1
-    stats_tl, stats_ll, stats_pl = _subtree_stats(doc)
+        p = parent[nid]
+        depth[nid] = depth[p] + 1 if p != -1 else 0
+    if blocked is None:
+        blocked = _blocked_array(doc)
+    stats_tl, stats_ll, stats_pl = _subtree_stats(doc, blocked)
     best, best_key = doc.body_node, (-1.0, -1)
     for nid in order:
         if doc.node_type[nid] != ELEMENT_NODE:
             continue
         if doc.tag[nid] not in CANDIDATE_TAGS:
             continue
-        if _is_blocked(doc, nid):
+        if blocked[nid]:
             continue
         tl, ll, pl = stats_tl[nid], stats_ll[nid], stats_pl[nid]
         if tl == 0:
@@ -142,13 +167,14 @@ def main_text(doc: Document) -> str:
     """Extracted main content: innerText of each <p> descendant of the
     best container joined by blank lines; falls back to the container's
     own innerText when it holds no paragraphs."""
-    root = select_main_node(doc)
+    blocked = _blocked_array(doc)
+    root = select_main_node(doc, blocked)
     paras: list[str] = []
     stack = [root]
     while stack:
         nid = stack.pop()
         if doc.node_type[nid] == ELEMENT_NODE:
-            if nid != root and _is_blocked(doc, nid):
+            if nid != root and blocked[nid]:
                 continue
             if doc.tag[nid] == "p":
                 t = innertext.inner_text(doc, nid)
