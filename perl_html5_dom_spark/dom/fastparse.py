@@ -71,12 +71,23 @@ _OK_BODY_START = (
 )
 
 # elements that terminate the li / dd-dt backward search ("special" but
-# not address/div/p, restricted to the fast vocabulary)
+# not address/div/p, restricted to the fast vocabulary + table scope)
 _LI_STOP = frozenset(
     (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
-     | frozenset(_RAWTEXT_MODES) | _HEAD_VOID)
+     | frozenset(_RAWTEXT_MODES) | _HEAD_VOID
+     | frozenset(("table", "td", "th")))
     - {"address", "div", "p"}
 )
+
+#: "has an element in scope" boundaries present in the fast vocabulary
+#: (WHATWG scope list: html, table, td, th, + others we bail on) — walks
+#: for p/heading/block end tags must not cross these
+_SCOPE_STOP = frozenset(("html", "table", "td", "th"))
+_TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
+#: start tags that close an open cell ("in cell" spec list; table is NOT
+#: among them — a nested <table> stays inside the cell)
+_CELL_CLOSERS = frozenset(
+    ("td", "th", "tr", "caption", "col", "colgroup")) | _TABLE_SECTIONS
 
 #: "special" elements of the fast vocabulary (any-other-end-tag rule)
 _SPECIAL = (
@@ -217,8 +228,14 @@ class _Fast:
             self._pop_implicit()
 
     def _close_p(self) -> None:
-        if "p" in self.tags:
-            self._pop_until("p")
+        # "close a p element in BUTTON scope": the walk stops at scope
+        # boundaries (a p outside an enclosing table cell stays open)
+        for t in reversed(self.tags):
+            if t == "p":
+                self._pop_until("p")
+                return
+            if t in _SCOPE_STOP:
+                return
 
     def _rawtext(self, token) -> None:
         tag = token[1]
@@ -394,6 +411,9 @@ class _Fast:
 
     def _body_start(self, token) -> None:
         tag = token[1]
+        if tag == "table":
+            self._table(token)
+            return
         if tag not in _OK_BODY_START:
             raise _Bail
         if tag in _BLOCK_START:
@@ -443,6 +463,138 @@ class _Fast:
         # phrasing
         self._push(token)
 
+    # -- tables (the well-formed subset; anything else bails) -----------
+    #
+    # Handled: implied <tbody> before <tr>, implied <tbody><tr> before a
+    # cell, unclosed cells/rows/sections, whitespace text between table
+    # parts, comments, nested tables inside cells, quirks-mode <p> kept
+    # open around the table.  Bails on: non-whitespace table text
+    # (foster parenting), caption/col/colgroup/form/script/style inside
+    # table context, mismatched cell end tags, EOF inside the table.
+    # Cell content runs the normal body handlers — their p/heading/
+    # block/li walks stop at the td/th/table scope boundaries above, and
+    # closing a cell plain-pops its leftovers (the spec clears the
+    # active-formatting list to the cell's marker, which a plain stack
+    # pop reproduces).
+
+    def _table(self, token) -> None:
+        if not self.doc.quirks:
+            self._close_p()           # spec skips the close in quirks mode
+        self._push(token)             # table
+        next_token = self.tok.next_token
+        pending: tuple | None = None
+        while True:
+            token = pending if pending is not None else next_token()
+            pending = None
+            tt = token[0]
+            cur = self.tags[-1]
+            if tt == "char":
+                if token[1].lstrip(_WS):
+                    raise _Bail       # foster parenting: slow lane
+                self._text(token[1])
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                tag = token[1]
+                if tag in _TABLE_SECTIONS:
+                    if cur != "table":
+                        while self.tags[-1] != "table":
+                            self._pop()   # implied close of tr/section
+                    self._push(token)
+                    continue
+                if tag == "tr":
+                    if cur == "table":
+                        self._push(None, "tbody")
+                    elif cur == "tr":
+                        self._pop()
+                    elif cur not in _TABLE_SECTIONS:
+                        raise _Bail
+                    self._push(token)
+                    continue
+                if tag in ("td", "th"):
+                    if cur == "table":
+                        self._push(None, "tbody")
+                        self._push(None, "tr")
+                    elif cur in _TABLE_SECTIONS:
+                        self._push(None, "tr")
+                    elif cur != "tr":
+                        raise _Bail
+                    self._push(token)
+                    pending = self._cell(next_token)
+                    continue
+                raise _Bail           # caption/col/colgroup/style/...
+            if tt == "end":
+                tag = token[1]
+                if tag == "table":
+                    while self.tags[-1] != "table":
+                        self._pop()   # implied close of tr/section
+                    self._pop()       # table
+                    return
+                if tag in _TABLE_SECTIONS:
+                    if cur == "tr":
+                        self._pop()
+                        cur = self.tags[-1]
+                    if cur == tag:
+                        self._pop()
+                        continue
+                    raise _Bail       # stray section end
+                if tag == "tr":
+                    if cur == "tr":
+                        self._pop()
+                        continue
+                    if cur == "table" or cur in _TABLE_SECTIONS:
+                        continue      # no tr in scope: ignore
+                    raise _Bail
+                raise _Bail           # any other end tag in table context
+            raise _Bail               # eof inside the table
+
+    def _cell(self, next_token):
+        """Consume the content of the just-pushed td/th; returns a token
+        to reprocess at table level, or None."""
+        cell_idx = len(self.stack) - 1
+        cell_tag = self.tags[-1]
+        while True:
+            token = next_token()
+            tt = token[0]
+            if tt == "char":
+                self._text(token[1])
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                tag = token[1]
+                if tag in _CELL_CLOSERS:
+                    self._close_cell(cell_idx)
+                    return token      # reprocess at table level
+                self._body_start(token)   # includes nested <table>
+                continue
+            if tt == "end":
+                tag = token[1]
+                if tag in ("td", "th"):
+                    if tag != cell_tag:
+                        raise _Bail   # mismatched cell end: slow lane
+                    self._close_cell(cell_idx)
+                    return None
+                if tag == "table" or tag == "tr" or tag in _TABLE_SECTIONS:
+                    self._close_cell(cell_idx)
+                    return token
+                if tag in ("body", "html"):
+                    raise _Bail
+                self._body_end(tag)
+                continue
+            raise _Bail               # eof inside a cell
+
+    def _close_cell(self, cell_idx: int) -> None:
+        # spec "close the cell": implied end tags, pop until the cell,
+        # clear the AFE to the cell's marker — a plain pop of everything
+        # above (and including) the cell reproduces all three
+        while len(self.stack) - 1 > cell_idx:
+            self._pop()
+        self._pop()
+
     def _body_end(self, tag: str) -> None:
         tags = self.tags
         if tag == "br":
@@ -451,23 +603,30 @@ class _Fast:
             self._append(nid)
             return
         if tag == "p":
-            if "p" not in tags:
-                raise _Bail           # spec synthesizes an empty <p>
-            self._pop_until("p")
-            return
+            for t in tags[::-1]:
+                if t == "p":
+                    self._pop_until("p")
+                    return
+                if t in _SCOPE_STOP:
+                    break             # p not in button scope
+            raise _Bail               # spec synthesizes an empty <p>
         if tag == "li" or tag in _DD_DT:
             for t in reversed(tags):
                 if t == tag:
                     self._pop_until(tag)
                     return
-                if (tag == "li" and t in ("ul", "ol")) or t == "html":
-                    return            # not in scope: ignore
+                if (tag == "li" and t in ("ul", "ol")) or t in _SCOPE_STOP:
+                    return            # not in (list-item) scope: ignore
             return
         if tag in HEADING_TAGS:
-            if any(t in HEADING_TAGS for t in tags):
-                while self.tags[-1] not in HEADING_TAGS:
-                    self._pop_implicit()
-                self._pop()
+            for t in reversed(tags):
+                if t in HEADING_TAGS:
+                    while self.tags[-1] not in HEADING_TAGS:
+                        self._pop_implicit()
+                    self._pop()
+                    return
+                if t in _SCOPE_STOP:
+                    return            # no heading in scope: ignore
             return
         if tag in FORMATTING_TAGS:
             if tags[-1] == tag:
@@ -482,6 +641,8 @@ class _Fast:
                     self._pop_implicit()
                 self._pop_until(tag)
                 return
+            if t in ("table", "td", "th"):
+                return                # scope boundary (also special)
             if tag not in _BLOCK_START and t in _SPECIAL:
                 return                # ignore token
         return                        # not found: ignore

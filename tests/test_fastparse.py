@@ -104,7 +104,10 @@ _tags = st.sampled_from(
     "dd dt dl hr img footer blockquote "
     # full FORMATTING_TAGS set — the adoption-agency corner the fast lane
     # must bail on (a round-1 nobr divergence hid here)
-    "nobr small big tt u s strike font code".split())
+    "nobr small big tt u s strike font code "
+    # full table vocabulary — the fast lane now parses the well-formed
+    # subset, so the fuzz must hammer the messy shapes
+    "tr th tbody thead tfoot caption colgroup".split())
 
 _HEADS = [
     "<!DOCTYPE html><html><head></head><body>",
@@ -164,9 +167,84 @@ def test_differential_fuzz_formatting(src):
     assert_equal_trees(src)
 
 
+_table_tags = st.sampled_from(
+    "table tr td th tbody thead tfoot caption div p b ul li".split())
+
+
+@st.composite
+def table_soup(draw):
+    """Table-heavy generator targeting the fast lane's table subset and
+    its bail boundaries (fostered text, stray ends, nesting)."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 14))):
+        t = draw(_table_tags)
+        parts.append(draw(st.sampled_from(
+            [f"<{t}>", f"</{t}>", "x", " ", "<!-- c -->"])))
+    return "".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(table_soup())
+def test_differential_fuzz_tables(src):
+    assert_equal_trees(src)
+
+
 def test_nobr_fast_lane_bails():
     # repeated <nobr> runs the adoption agency (WHATWG "in body", nobr rule);
     # the fast lane must defer to the full machine
     assert fastparse.try_parse(
         "<!DOCTYPE html><html><head></head><body><nobr>x<nobr>y</body></html>"
     ) is None
+
+
+# fast-lane table subset: every case must be tree-identical AND the
+# well-formed ones must stay in the fast lane
+TABLE_FAST = [
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tbody><tr><td>a</td><td>b</td></tr></tbody></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>a<td>b<tr><td>c</table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table> <tr><td>x</td></tr> </table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><thead><tr><th>h</th></tr><tbody><tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td><p>para<div>blk</div></td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td><b>bold</td><td>plain</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p>before<table><tr><td>x</td></tr></table>after</body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tbody><tr><td>x</td></tr></tbody><tfoot><tr><td>f</td></tr></tfoot></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td><ul><li>a<li>b</ul></td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>x</td></tr><!-- c --></table></body></html>",
+]
+
+TABLE_BAIL = [
+    # fostered text / weird structure must fall back to the full machine
+    "<!DOCTYPE html><html><head></head><body><table>fost<tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><caption>c</caption><tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><colgroup><col></colgroup><tr><td>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>x</th></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td>x",
+    "<!DOCTYPE html><html><head></head><body><b><table><tr><td>x</td></tr></table>y</b></body></html>",
+]
+
+
+@pytest.mark.parametrize("src", TABLE_FAST)
+def test_table_fast_lane(src):
+    assert_equal_trees(src)
+    assert fastparse.try_parse(src) is not None, "should stay in fast lane"
+
+
+@pytest.mark.parametrize("src", TABLE_BAIL)
+def test_table_bail_cases(src):
+    assert_equal_trees(src)
+
+
+# scope boundaries: walks from inside a cell must not cross td/th/table
+SCOPE_CASES = [
+    "<!DOCTYPE html><html><head></head><body><div><table><tr><td></div>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><table><tr><td></p>x</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><h1><table><tr><td></h2>x</td></tr></table></h1></body></html>",
+    "<!DOCTYPE html><html><head></head><body><ul><li><table><tr><td><li>in</td></tr></table></li></ul></body></html>",
+]
+
+
+@pytest.mark.parametrize("src", SCOPE_CASES)
+def test_table_scope_boundaries(src):
+    assert_equal_trees(src)

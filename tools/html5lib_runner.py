@@ -1,0 +1,111 @@
+"""html5lib-tests tree-construction runner.
+
+Drop the published corpus (html5lib/html5lib-tests, tree-construction
+``*.dat`` files) into a directory and run:
+
+    python tools/html5lib_runner.py path/to/tree-construction [file.dat ...]
+
+Prints per-file ok/fail counts and a total, in the same spirit as the
+reference's runner (/root/reference/examples/html5lib_tests.pl; its
+published score is 1647/1666, lib/HTML5/DOM.pod:3318-3377).  The dump
+format (perl_html5_dom_spark/dom/treedump.py) matches the corpus
+expectations byte-for-byte for the constructs we emit.
+
+The corpus is NOT vendored in this sandbox; until it is dropped in, the
+same format + parser are exercised by the hand-derived goldens in
+tests/test_tree_goldens.py (run those via pytest).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from perl_html5_dom_spark.dom.treebuilder import TreeBuilder  # noqa: E402
+from perl_html5_dom_spark.dom.treedump import tree_format  # noqa: E402
+
+
+def parse_dat_file(text: str):
+    """Yield (data, fragment_context, expected_dump) per test case."""
+    for raw in text.split("\n\n#data\n"):
+        block = raw
+        if block.startswith("#data\n"):
+            block = block[len("#data\n"):]
+        if not block.strip():
+            continue
+        lines = block.split("\n")
+        data_lines, errors, document, fragment = [], False, [], None
+        mode = "data"
+        for ln in lines:
+            if ln == "#errors":
+                mode = "errors"
+            elif ln == "#new-errors":
+                mode = "errors"
+            elif ln == "#document-fragment":
+                mode = "fragment"
+            elif ln == "#script-on" or ln == "#script-off":
+                mode = "script"
+            elif ln == "#document":
+                mode = "document"
+            elif mode == "data":
+                data_lines.append(ln)
+            elif mode == "fragment":
+                fragment = ln.strip()
+            elif mode == "document":
+                document.append(ln)
+        yield ("\n".join(data_lines), fragment, "\n".join(document).rstrip("\n"))
+
+
+def run_file(path: Path) -> tuple[int, int, list[str]]:
+    ok = fail = 0
+    failures: list[str] = []
+    for data, fragment, expected in parse_dat_file(path.read_text()):
+        try:
+            if fragment:
+                parts = fragment.split()
+                if len(parts) == 2 and parts[0] in ("svg", "math"):
+                    from perl_html5_dom_spark.dom.constants import (
+                        NS_MATHML, NS_SVG)
+                    ns = NS_SVG if parts[0] == "svg" else NS_MATHML
+                    doc, frag = TreeBuilder().parse_fragment(
+                        data, parts[1], ns)
+                else:
+                    doc, frag = TreeBuilder().parse_fragment(data, fragment)
+                got = tree_format(doc, frag)
+            else:
+                got = tree_format(TreeBuilder().parse(data))
+        except Exception as exc:  # a crash is a failure, not an abort
+            got = f"<CRASH {type(exc).__name__}: {exc}>"
+        if got == expected:
+            ok += 1
+        else:
+            fail += 1
+            failures.append(data[:80])
+    return ok, fail, failures
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    root = Path(sys.argv[1])
+    names = sys.argv[2:]
+    files = ([root / n for n in names] if names
+             else sorted(root.glob("*.dat")))
+    total_ok = total_fail = 0
+    for f in files:
+        ok, fail, failures = run_file(f)
+        total_ok += ok
+        total_fail += fail
+        print(f"{f.name:32s} ok={ok:4d} fail={fail:3d}")
+        for d in failures[:3]:
+            print(f"    FAIL: {d!r}")
+    print(f"TOTAL ok={total_ok} fail={total_fail} "
+          f"({total_ok}/{total_ok + total_fail})")
+    return 0 if total_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
