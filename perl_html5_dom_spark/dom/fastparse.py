@@ -8,16 +8,19 @@ directly with a plain element stack and **bails out** — raising
 ``_Bail`` — the moment anything appears whose semantics could diverge
 from the spec machine:
 
-  * any tag outside the simple vocabulary (tables, forms, template,
-    select, pre, textarea, frames, SVG/MathML, ...),
-  * implicit popping of an open formatting element (that is exactly
-    when the adoption agency / active-formatting reconstruction of the
-    reference engine (DOM.xs adoption tests) produces trees a plain
-    stack cannot),
-  * nested/duplicated unclosed formatting of the same tag (Noah's-ark
-    and <a>-in-<a> cases),
+  * any tag outside the simple vocabulary (forms, template, select,
+    pre, textarea, frames, SVG/MathML, caption/col/colgroup, ...),
+  * END-tag-driven adoption agency (a mismatched formatting end tag,
+    repeated <a>/<nobr>, Noah's-ark duplicates),
+  * foster-parenting territory (non-whitespace text in table context),
   * anything unusual around the document frame (quirky doctype,
-    text between </head> and <body>, content after </body>).
+    text between </head> and <body>, text after </body>).
+
+  Implicit closes crossing open formatting elements are handled
+  spec-faithfully: the active-formatting list keeps the entry and the
+  element is RECONSTRUCTED at the next text/phrasing insertion (WHATWG
+  "reconstruct the active formatting elements"), with markers at table
+  cells; well-formed tables parse via a dedicated sub-parser.
 
 ``parse`` falls back to the full TreeBuilder on bail, so the result is
 ALWAYS spec-identical; the differential test (tests/test_fastparse.py)
@@ -97,6 +100,10 @@ _SPECIAL = (
 )
 
 
+#: active-formatting-list marker (cell boundaries), like the full machine
+_MARKER = ("MARKER",)
+
+
 class _Fast:
     __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase", "_L")
 
@@ -105,7 +112,10 @@ class _Fast:
         self.tok = Tokenizer(src)
         self.stack: list[int] = []     # node ids
         self.tags: list[str] = []      # parallel tag names
-        self.open_fmt: list[str] = []  # open formatting tags (subset order)
+        #: active formatting list: [tag, token_attrs, on_stack] entries
+        #: (insertion order) plus _MARKER sentinels at cell boundaries —
+        #: the fast-lane twin of the full machine's afe
+        self.open_fmt: list = []
         d = self.doc
         # cached struct-of-array refs: node allocation is the fast lane's
         # hottest call — append inline, no Document method hops
@@ -205,20 +215,74 @@ class _Fast:
         doc.append_child(self.stack[-1] if parent is None else parent, nid)
 
     def _pop(self) -> str:
+        """Pop + REMOVE a formatting element from the AFE (the spec's
+        matched-close / clear-to-marker removal)."""
         self.stack.pop()
         t = self.tags.pop()
         if t in FORMATTING_TAGS:
-            # a matched explicit close of the innermost-open formatting
-            # tag keeps the AFE list consistent; anything else bailed
-            self.open_fmt.remove(t)
+            for i in range(len(self.open_fmt) - 1, -1, -1):
+                e = self.open_fmt[i]
+                if e is not _MARKER and e[0] == t and e[2]:
+                    del self.open_fmt[i]
+                    return t
+            raise _Bail            # AFE out of sync: slow lane
         return t
 
     def _pop_implicit(self) -> str:
-        """Pop during implied-end handling; crossing an open formatting
-        element means the spec machine would reconstruct it later."""
-        if self.tags[-1] in FORMATTING_TAGS:
-            raise _Bail
+        """Pop during implied-end handling.  A formatting element popped
+        this way STAYS in the active formatting list (the spec machine
+        reconstructs it at the next text/phrasing insertion) — mark its
+        entry off-stack instead of removing it."""
+        t = self.tags[-1]
+        if t in FORMATTING_TAGS:
+            for i in range(len(self.open_fmt) - 1, -1, -1):
+                e = self.open_fmt[i]
+                if e is not _MARKER and e[0] == t and e[2]:
+                    e[2] = False
+                    self.stack.pop()
+                    self.tags.pop()
+                    return t
+            raise _Bail            # AFE out of sync: slow lane
         return self._pop()
+
+    def _afe_tail(self):
+        """AFE entries after the last marker (spec scope of the Noah's
+        ark / <a>-duplicate checks and of reconstruction)."""
+        out = []
+        for e in reversed(self.open_fmt):
+            if e is _MARKER:
+                break
+            out.append(e)
+        return out
+
+    def _reconstruct(self) -> None:
+        """Re-open off-stack AFE entries in order (WHATWG 'reconstruct
+        the active formatting elements'; full machine treebuilder.py
+        _reconstruct_afe) — new position-less elements with the original
+        token's attributes, exactly like the spec machine."""
+        fmt = self.open_fmt
+        if not fmt:
+            return
+        last = fmt[-1]
+        if last is _MARKER or last[2]:
+            return
+        i = len(fmt) - 1
+        while i > 0:
+            i -= 1
+            e = fmt[i]
+            if e is _MARKER or e[2]:
+                i += 1
+                break
+        doc = self.doc
+        while i < len(fmt):
+            e = fmt[i]
+            nid = doc.new_element(e[0], NS_HTML,
+                                  dict(e[1]) if e[1] else None)
+            self._append(nid)
+            self.stack.append(nid)
+            self.tags.append(e[0])
+            e[2] = True
+            i += 1
 
     def _pop_until(self, tag: str) -> None:
         while True:
@@ -382,6 +446,7 @@ class _Fast:
             pending = None
             tt = token[0]
             if tt == "char":
+                self._reconstruct()   # in-body char tokens reconstruct
                 self._text(token[1])
                 continue
             if tt == "comment":
@@ -393,12 +458,10 @@ class _Fast:
             if tt == "end":
                 tag = token[1]
                 if tag == "body" or tag == "html":
-                    if "p" in self.tags or len(self.stack) != 2:
-                        # unclosed elements at </body>: spec keeps them
-                        # open (no tree change), safe to continue only
-                        # if no formatting is open
-                        if self.open_fmt:
-                            raise _Bail
+                    # spec </body> leaves the tree untouched (unclosed
+                    # elements stay open); _after_body bails on ANY char
+                    # token, so open/pending formatting can never
+                    # reconstruct after this point
                     self._after_body(next_token, saw_html_end=(tag == "html"))
                     return doc
                 self._body_end(tag)
@@ -438,29 +501,38 @@ class _Fast:
             self._push(token)
             return
         if tag in FORMATTING_TAGS:
-            if tag in ("a", "nobr") and tag in self.open_fmt:
+            tail = self._afe_tail()
+            if tag in ("a", "nobr") and any(e[0] == tag for e in tail):
                 # spec runs the adoption agency when an <a> is in the active
                 # formatting list / a <nobr> is in scope (treebuilder.py
                 # _in_body handles both); the fast lane must not nest them
                 raise _Bail           # adoption agency
-            if self.open_fmt.count(tag) >= 3:
+            if sum(1 for e in tail if e[0] == tag) >= 3:
                 raise _Bail           # Noah's ark
+            self._reconstruct()
             self._push(token)
-            self.open_fmt.append(tag)
+            self.open_fmt.append([tag, token[2], True])
             return
         if tag == "hr":
             self._close_p()
             nid = self._el(token)
             self._append(nid)
             return
-        if tag in _BODY_VOID or tag in _HEAD_VOID:
+        if tag in _BODY_VOID:
+            # br/img/wbr/area/embed/keygen reconstruct (WHATWG in body)
+            self._reconstruct()
             nid = self._el(token)
             self._append(nid)
             return
-        if tag in _RAWTEXT_MODES:
-            self._rawtext(token)
+        if tag in _HEAD_VOID:
+            nid = self._el(token)   # in-head rules: no reconstruction
+            self._append(nid)
             return
-        # phrasing
+        if tag in _RAWTEXT_MODES:
+            self._rawtext(token)    # in-head rules: no reconstruction
+            return
+        # phrasing ("any other start tag": reconstruct, insert)
+        self._reconstruct()
         self._push(token)
 
     # -- tables (the well-formed subset; anything else bails) -----------
@@ -555,10 +627,14 @@ class _Fast:
         to reprocess at table level, or None."""
         cell_idx = len(self.stack) - 1
         cell_tag = self.tags[-1]
+        # the cell pushes an AFE marker (spec "in row" td/th handling):
+        # formatting opened outside the table must not reconstruct inside
+        self.open_fmt.append(_MARKER)
         while True:
             token = next_token()
             tt = token[0]
             if tt == "char":
+                self._reconstruct()   # in-body rules inside the cell
                 self._text(token[1])
                 continue
             if tt == "comment":
@@ -589,11 +665,16 @@ class _Fast:
 
     def _close_cell(self, cell_idx: int) -> None:
         # spec "close the cell": implied end tags, pop until the cell,
-        # clear the AFE to the cell's marker — a plain pop of everything
-        # above (and including) the cell reproduces all three
+        # clear the AFE to the cell's marker.  Stack pops remove on-stack
+        # formatting entries; the truncation below drops any still-pending
+        # entries opened inside the cell, plus the marker itself.
         while len(self.stack) - 1 > cell_idx:
             self._pop()
         self._pop()
+        for i in range(len(self.open_fmt) - 1, -1, -1):
+            if self.open_fmt[i] is _MARKER:
+                del self.open_fmt[i:]
+                break
 
     def _body_end(self, tag: str) -> None:
         tags = self.tags

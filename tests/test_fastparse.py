@@ -248,3 +248,43 @@ SCOPE_CASES = [
 @pytest.mark.parametrize("src", SCOPE_CASES)
 def test_table_scope_boundaries(src):
     assert_equal_trees(src)
+
+
+# AFE reconstruction in the fast lane: implied closes crossing open
+# formatting elements reopen them at the next text/phrasing insertion
+# (WHATWG "reconstruct the active formatting elements") — these common
+# shapes must stay in the fast lane AND be tree-identical
+RECONSTRUCT_FAST = [
+    "<!DOCTYPE html><html><head></head><body><p><b>x<p>y</p></body></html>",
+    "<!DOCTYPE html><html><head></head><body><div><b>x</div>y</body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><i>a<em>b<p>c</body></html>",
+    "<!DOCTYPE html><html><head></head><body><ul><li><b>x<li>y</ul></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><b class='k'>x<p><img src='i'></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><b>x<p><span>y</span></body></html>",
+    "<!DOCTYPE html><html><head></head><body><dl><dd><b>x<dd>y</dl></body></html>",
+    "<!DOCTYPE html><html><head></head><body><table><tr><td><p><b>x<p>y</td><td>z</td></tr></table></body></html>",
+    "<!DOCTYPE html><html><head></head><body><b>out<table><tr><td>in</td></tr></table>after</b></body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><b>x<p>y<b>z</body></html>",
+]
+
+
+@pytest.mark.parametrize("src", RECONSTRUCT_FAST)
+def test_reconstruction_fast_lane(src):
+    assert_equal_trees(src)
+    assert fastparse.try_parse(src) is not None, "should stay in fast lane"
+
+
+RECONSTRUCT_BAIL = [
+    # end-tag-driven adoption agency still defers to the full machine
+    "<!DOCTYPE html><html><head></head><body><p><b>x<div>y</div></b>z</body></html>",
+    "<!DOCTYPE html><html><head></head><body><b><i>x</b>y</i></body></html>",
+    # formatting crossing a cell marker from outside reconstructs inside
+    # the cell in no case — but a pending OUTER element reopened after
+    # the table is end-tag territory
+    "<!DOCTYPE html><html><head></head><body><p><b>x<table><tr><td>c</td></tr></table>y</b></body></html>",
+]
+
+
+@pytest.mark.parametrize("src", RECONSTRUCT_BAIL)
+def test_reconstruction_bail_cases(src):
+    assert_equal_trees(src)
