@@ -502,10 +502,21 @@ class _Fast:
             return
         if tag in FORMATTING_TAGS:
             tail = self._afe_tail()
-            if tag in ("a", "nobr") and any(e[0] == tag for e in tail):
-                # spec runs the adoption agency when an <a> is in the active
-                # formatting list / a <nobr> is in scope (treebuilder.py
-                # _in_body handles both); the fast lane must not nest them
+            if tag == "a" and any(e[0] == "a" for e in tail):
+                # spec: run the adoption agency for "a" BEFORE inserting.
+                # AAA fast case: the old <a> is in the AFE but no longer
+                # on the stack -> just remove its entry; anything else
+                # (old <a> still open) is real adoption agency
+                for e in reversed(tail):
+                    if e[0] == "a":
+                        if e[2]:
+                            raise _Bail   # adoption agency
+                        self.open_fmt.remove(e)
+                        break
+            elif tag == "nobr" and any(e[0] == "nobr" for e in tail):
+                # spec reconstructs FIRST (re-opening a pending nobr),
+                # then runs AAA when nobr is in scope — either way the
+                # full machine must handle it
                 raise _Bail           # adoption agency
             if sum(1 for e in tail if e[0] == tag) >= 3:
                 raise _Bail           # Noah's ark
@@ -713,7 +724,18 @@ class _Fast:
             if tags[-1] == tag:
                 self._pop()
                 return
-            raise _Bail               # adoption agency
+            # adoption agency outer-loop fast cases (treebuilder.py
+            # _adoption_agency steps 3-5):
+            for e in reversed(self._afe_tail()):
+                if e[0] == tag:
+                    if e[2]:
+                        raise _Bail   # on stack, not top: real AAA
+                    # in the AFE but not on the stack: parse error,
+                    # remove the entry, no tree change
+                    self.open_fmt.remove(e)
+                    return
+            # not in the AFE at all: "any other end tag" rules — fall
+            # through to the generic walk below
         # blocks and any-other end tags share the walk-down rule
         for t in reversed(tags):
             if t == tag:

@@ -288,3 +288,22 @@ RECONSTRUCT_BAIL = [
 @pytest.mark.parametrize("src", RECONSTRUCT_BAIL)
 def test_reconstruction_bail_cases(src):
     assert_equal_trees(src)
+
+
+# adoption-agency outer-loop fast cases handled without bailing:
+AAA_FAST = [
+    # </b> whose element left the stack via an implied close: AFE entry
+    # removed, no tree change
+    "<!DOCTYPE html><html><head></head><body><p><b>x<p>y</b>z</body></html>",
+    # stray close of an already-closed formatting tag: any-other-end rules
+    "<!DOCTYPE html><html><head></head><body><b>x</b>y</b>z</body></html>",
+    # new <a> while the previous <a> is pending (off-stack): old entry
+    # dropped, new <a> inserted plainly
+    "<!DOCTYPE html><html><head></head><body><p><a href='1'>x<p><a href='2'>y</a></body></html>",
+]
+
+
+@pytest.mark.parametrize("src", AAA_FAST)
+def test_aaa_fast_cases(src):
+    assert_equal_trees(src)
+    assert fastparse.try_parse(src) is not None, "should stay in fast lane"
