@@ -446,7 +446,8 @@ class _Fast:
             pending = None
             tt = token[0]
             if tt == "char":
-                self._reconstruct()   # in-body char tokens reconstruct
+                if self.open_fmt:     # in-body char tokens reconstruct
+                    self._reconstruct()
                 self._text(token[1])
                 continue
             if tt == "comment":
@@ -531,7 +532,8 @@ class _Fast:
             return
         if tag in _BODY_VOID:
             # br/img/wbr/area/embed/keygen reconstruct (WHATWG in body)
-            self._reconstruct()
+            if self.open_fmt:
+                self._reconstruct()
             nid = self._el(token)
             self._append(nid)
             return
@@ -543,7 +545,8 @@ class _Fast:
             self._rawtext(token)    # in-head rules: no reconstruction
             return
         # phrasing ("any other start tag": reconstruct, insert)
-        self._reconstruct()
+        if self.open_fmt:
+            self._reconstruct()
         self._push(token)
 
     # -- tables (the well-formed subset; anything else bails) -----------
@@ -645,7 +648,8 @@ class _Fast:
             token = next_token()
             tt = token[0]
             if tt == "char":
-                self._reconstruct()   # in-body rules inside the cell
+                if self.open_fmt:     # in-body rules inside the cell
+                    self._reconstruct()
                 self._text(token[1])
                 continue
             if tt == "comment":
