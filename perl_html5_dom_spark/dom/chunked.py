@@ -29,6 +29,12 @@ from .tokenizer import Tokenizer
 from .treebuilder import TreeBuilder
 
 
+# token fields holding absolute source offsets, per token type — needed
+# to re-base positions after the consumed buffer prefix is trimmed
+_POS_FIELDS = {"char": (2,), "comment": (2, 4), "start": (4, 6),
+               "end": (2, 4)}
+
+
 class ChunkedParser:
     """One in-progress document parse fed by successive text chunks."""
 
@@ -41,18 +47,31 @@ class ChunkedParser:
         tb.done = False
         self.tb = tb
         self._raw_tail_cr = False
+        self._base = 0   # chars trimmed off the front of tok.src
         self.ended = False
 
     # -- feeding --------------------------------------------------------
     def parse_chunk(self, chunk: str) -> "ChunkedParser":
         if self.ended:
             raise ValueError("parse_chunk after end()")
+        if not chunk:
+            # must not reset _raw_tail_cr: a \r\n pair split around an
+            # empty chunk still collapses to one \n
+            return self
         if self._raw_tail_cr and chunk.startswith("\n"):
             chunk = chunk[1:]  # \r\n split across the boundary
         self._raw_tail_cr = chunk.endswith("\r")
         if "\r" in chunk:
             chunk = chunk.replace("\r\n", "\n").replace("\r", "\n")
         tok = self.tb.tok
+        # Amortized buffer maintenance: everything before tok.pos is
+        # fully consumed (the held-back token, if any, starts AT pos),
+        # so drop it before appending — an N-chunk feed is O(total),
+        # not O(total^2).  Token positions are re-based in _pump.
+        if tok.pos > 8192 and tok.pos * 2 > len(tok.src):
+            self._base += tok.pos
+            tok.src = tok.src[tok.pos:]
+            tok.pos = 0
         tok.src += chunk
         tok.n = len(tok.src)
         tok._done = False
@@ -86,6 +105,13 @@ class ChunkedParser:
                 # possibly-truncated token: hold it back until more input
                 tok.pos, tok._done, tok._raw_mode, tok._raw_tag = save
                 return
+            if self._base:
+                fields = _POS_FIELDS.get(token[0])
+                if fields:
+                    token = list(token)
+                    for i in fields:
+                        token[i] += self._base
+                    token = tuple(token)
             tb._dispatch(token)
 
 

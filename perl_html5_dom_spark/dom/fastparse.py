@@ -694,7 +694,11 @@ class _Fast:
     def _body_end(self, tag: str) -> None:
         tags = self.tags
         if tag == "br":
-            # spec: </br> acts as <br> (position-less synthetic token)
+            # spec: </br> acts as a <br> START tag (position-less
+            # synthetic token), which reconstructs active formatting
+            # first — mirror the _BODY_VOID start-tag path
+            if self.open_fmt:
+                self._reconstruct()
             nid = self.doc.new_element("br", NS_HTML, None)
             self._append(nid)
             return
@@ -725,21 +729,27 @@ class _Fast:
                     return            # no heading in scope: ignore
             return
         if tag in FORMATTING_TAGS:
-            if tags[-1] == tag:
-                self._pop()
-                return
             # adoption agency outer-loop fast cases (treebuilder.py
-            # _adoption_agency steps 3-5):
-            for e in reversed(self._afe_tail()):
-                if e[0] == tag:
-                    if e[2]:
-                        raise _Bail   # on stack, not top: real AAA
+            # _adoption_agency steps 3-5).  The spec acts on the LAST
+            # AFE-tail entry with this tag name — iterate newest-first
+            # (_afe_tail is already newest-first); the fast pop is only
+            # valid when that entry is the on-stack current node.
+            for e in self._afe_tail():
+                if e[0] != tag:
+                    continue
+                if not e[2]:
                     # in the AFE but not on the stack: parse error,
                     # remove the entry, no tree change
                     self.open_fmt.remove(e)
                     return
-            # not in the AFE at all: "any other end tag" rules — fall
-            # through to the generic walk below
+                if tags[-1] == tag:
+                    # the entry IS the current node: plain close
+                    # (_pop removes the newest on-stack entry == e)
+                    self._pop()
+                    return
+                raise _Bail       # on stack, not top: real AAA
+            # not in the AFE tail at all: "any other end tag" rules —
+            # fall through to the generic walk below
         # blocks and any-other end tags share the walk-down rule
         for t in reversed(tags):
             if t == tag:

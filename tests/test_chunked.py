@@ -45,6 +45,34 @@ def test_many_small_chunks():
     assert_chunked_equal(src, list(range(1, len(src))))
 
 
+def test_empty_chunk_preserves_crlf_pair():
+    # round-2 ADVICE: an empty chunk must not reset the pending-\r flag
+    from perl_html5_dom_spark.dom.chunked import ChunkedParser
+
+    src = "<!DOCTYPE html><html><head></head><body><pre>a\r\nb</pre></body></html>"
+    i = src.index("\r") + 1
+    p = ChunkedParser()
+    p.parse_chunk(src[:i]).parse_chunk("").parse_chunk(src[i:])
+    assert project(p.end()) == project(TreeBuilder().parse(src))
+
+
+def test_empty_chunks_everywhere():
+    src = FAST_CASES[1]
+    chunks = []
+    for ch in chunks_of(src, [7, 20, 33]):
+        chunks += ["", ch, ""]
+    assert project(parse_chunked(chunks)) == project(TreeBuilder().parse(src))
+
+
+def test_prefix_trim_keeps_absolute_positions():
+    # a long feed crosses the 8192-char amortized-trim threshold; source
+    # positions must stay absolute into the normalized input
+    body = "".join(f"<p id='{i}'>{'x' * 40}</p>" for i in range(400))
+    src = ("<!DOCTYPE html><html><head></head><body>"
+           + body + "</body></html>")
+    assert_chunked_equal(src, list(range(512, len(src), 512)))
+
+
 def test_crlf_across_boundary():
     src = "<!DOCTYPE html><html><head></head><body><pre>\r\nx\r</pre></body></html>"
     i = src.index("\r\n") + 1  # split between \r and \n

@@ -290,6 +290,55 @@ def test_reconstruction_bail_cases(src):
     assert_equal_trees(src)
 
 
+# round-2 ADVICE regressions: the formatting end-tag fast path must act
+# on the LAST AFE-tail entry (spec adoption agency), not the stack top,
+# and </br> must reconstruct active formatting like a <br> START tag
+ADVICE_REGRESSIONS = [
+    # outer <b> open, inner <b> off-stack after the </div> implied close:
+    # </b> removes the NEWEST (off-stack) entry with no tree change, so
+    # 'd' stays inside the outer <b>
+    "<!DOCTYPE html><html><head></head><body><b>a<div><b>c</div></b>d</body></html>",
+    "<!DOCTYPE html><html><head></head><body><i>a<p><i>c<div>e</div></i>d</body></html>",
+    "<!DOCTYPE html><html><head></head><body><b>a<div><b>c</div></b>d</b>e</body></html>",
+    "<!DOCTYPE html><html><head></head><body><em>a<blockquote><em>c</blockquote></em>d</body></html>",
+    # </br> acts as a <br> start tag: reconstruct, so 'y' lands in <b>
+    "<div><b>x</div></br>y",
+    "<!DOCTYPE html><html><head></head><body><div><b>x</div></br>y</body></html>",
+    "<!DOCTYPE html><html><head></head><body><p><i>x<p></br>y</body></html>",
+]
+
+
+@pytest.mark.parametrize("src", ADVICE_REGRESSIONS)
+def test_advice_regressions(src):
+    assert_equal_trees(src)
+
+
+_dup_fmt = st.sampled_from("b i em strong u s code small".split())
+_dup_blk = st.sampled_from("div p blockquote section li".split())
+
+
+@st.composite
+def dup_formatting_soup(draw):
+    """Unclosed duplicate formatting inside a block — the AAA fast-pop
+    divergence territory from the round-2 ADVICE."""
+    f = draw(_dup_fmt)
+    blk = draw(_dup_blk)
+    parts = ["<!DOCTYPE html><html><head></head><body>", f"<{f}>", "a"]
+    parts.append(draw(st.sampled_from(
+        [f"<{blk}>", f"<{blk}><{f}>c", f"<{blk}>b<{f}>c", f"<{f}>c<{blk}>"])))
+    parts.append(draw(st.sampled_from([f"</{blk}>", ""])))
+    parts.append(draw(st.sampled_from([f"</{f}>", "</br>", "<br>", ""])))
+    parts.append("d")
+    parts.append(draw(st.sampled_from([f"</{f}>e", "</br>e", ""])))
+    return "".join(parts)
+
+
+@settings(max_examples=400, deadline=None)
+@given(dup_formatting_soup())
+def test_differential_fuzz_dup_formatting(src):
+    assert_equal_trees(src)
+
+
 # adoption-agency outer-loop fast cases handled without bailing:
 AAA_FAST = [
     # </b> whose element left the stack via an implied close: AFE entry
