@@ -14,7 +14,8 @@ corpus needs no changes.
 
 import pytest
 
-from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+from perl_html5_dom_spark.dom.constants import NS_MATHML, NS_SVG
+from perl_html5_dom_spark.dom.treebuilder import TreeBuilder, parse_fragment
 from perl_html5_dom_spark.dom.treedump import tree_format
 
 # Each case: #data <input> #document <golden dump>  (html5lib .dat syntax)
@@ -301,22 +302,316 @@ A<table>B<tr><td></td></tr>C</table>
 '''
 
 
+# Round-3 family: the reference's own weakest html5lib files
+# (lib/HTML5/DOM.pod:3325-3328 — foreign-fragment, tests26, menuitem,
+# tests11) plus template / caption / colgroup / select-in-table and
+# character references inside attributes.  All expected trees hand-derived
+# from WHATWG 13.2.6 ("in template", "in caption", "in column group",
+# "in select in table", adoption agency, SVG tag/attribute adjustment,
+# attribute character-reference rules).  Fragment cases use the corpus's
+# ``#document-fragment`` directive.
+DAT2 = r'''
+#data
+<!DOCTYPE html><template><b>x</b></template>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <b>
+|           "x"
+|   <body>
+
+#data
+<body><template><tr><td>t</td></tr></template>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <template>
+|       content
+|         <tr>
+|           <td>
+|             "t"
+
+#data
+<table><template><tr><td>x</td></tr></template></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <template>
+|         content
+|           <tr>
+|             <td>
+|               "x"
+
+#data
+<body>x</template>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+
+#data
+<template><div>
+#document
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <div>
+|   <body>
+
+#data
+<menuitem>A<menuitem>B
+#document
+| <html>
+|   <head>
+|   <body>
+|     <menuitem>
+|       "A"
+|       <menuitem>
+|         "B"
+
+#data
+<menuitem><p></menuitem>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <menuitem>
+|       <p>
+|         "x"
+
+#data
+<table><caption>cap</caption><colgroup><col><tr><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "cap"
+|       <colgroup>
+|         <col>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<table><caption><p>a<p>b</caption><tr><td>c</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         <p>
+|           "a"
+|         <p>
+|           "b"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+
+#data
+<table><col width="20"><tr><td>x</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <colgroup>
+|         <col>
+|           width="20"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<table><select><option>o</select><tr><td>x</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "o"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<table><tr><td><select><option>1<option>2</select></td></tr></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|               <option>
+|                 "1"
+|               <option>
+|                 "2"
+
+#data
+<table><tr><td><select><caption>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|       <caption>
+
+#data
+<a href="/?a=1&not;b=2&notit=3">x</a>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="/?a=1¬b=2&notit=3"
+|       "x"
+
+#data
+<!DOCTYPE html><body><svg attributename="x" viewbox="0 0 1 1"><foreignobject><p>h</p></foreignobject></svg>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       attributeName="x"
+|       viewBox="0 0 1 1"
+|       <svg foreignObject>
+|         <p>
+|           "h"
+
+#data
+<!DOCTYPE html><body><b><nobr>1<nobr></b><i><nobr>2<nobr></i>3
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <nobr>
+|         "1"
+|       <nobr>
+|     <nobr>
+|       <i>
+|     <i>
+|       <nobr>
+|         "2"
+|       <nobr>
+|     <nobr>
+|       "3"
+
+#data
+<!DOCTYPE html><svg><textpath></textpath><lineargradient></lineargradient></svg>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg textPath>
+|       <svg linearGradient>
+
+#data
+<text>t</text><rect/>
+#document-fragment
+svg svg
+#document
+| <svg text>
+|   "t"
+| <svg rect>
+
+#data
+<foreignObject><div>x</div></foreignObject>
+#document-fragment
+svg path
+#document
+| <svg foreignObject>
+|   <div>
+|     "x"
+
+#data
+<b>x</b>
+#document-fragment
+svg desc
+#document
+| <b>
+|   "x"
+
+#data
+<b>y
+#document-fragment
+math ms
+#document
+| <b>
+|   "y"
+
+#data
+<div>d</div>
+#document-fragment
+svg title
+#document
+| <div>
+|   "d"
+'''
+
+_FRAG_NS = {"svg": NS_SVG, "math": NS_MATHML}
+
+
 def parse_dat(dat: str):
+    """html5lib .dat blocks -> (data, fragment_context | None, expected).
+    Fragment context is the corpus's ``#document-fragment`` directive:
+    a bare tag name, or ``svg <tag>`` / ``math <tag>``."""
     cases = []
     for block in dat.split("#data\n"):
         block = block.strip("\n")
         if not block:
             continue
-        data, _, doc = block.partition("\n#document\n")
-        cases.append((data, doc.rstrip("\n")))
+        head, _, doc = block.partition("\n#document\n")
+        data, _, frag = head.partition("\n#document-fragment\n")
+        cases.append((data, frag.strip() or None, doc.rstrip("\n")))
     return cases
 
 
-CASES = parse_dat(DAT)
+CASES = parse_dat(DAT) + parse_dat(DAT2)
 
 
-@pytest.mark.parametrize("src,expected", CASES, ids=[c[0][:40] for c in CASES])
-def test_tree_golden(src, expected):
-    doc = TreeBuilder().parse(src)
-    assert tree_format(doc) == expected, (
-        "\n--- got ---\n" + tree_format(doc) + "\n--- want ---\n" + expected)
+@pytest.mark.parametrize("src,frag_ctx,expected", CASES,
+                         ids=[c[0][:40] for c in CASES])
+def test_tree_golden(src, frag_ctx, expected):
+    if frag_ctx is None:
+        doc = TreeBuilder().parse(src)
+        got = tree_format(doc)
+    else:
+        parts = frag_ctx.split()
+        if len(parts) == 2:
+            ns, tag = _FRAG_NS[parts[0]], parts[1]
+        else:
+            from perl_html5_dom_spark.dom.constants import NS_HTML
+            ns, tag = NS_HTML, parts[0]
+        doc, frag = parse_fragment(src, tag, ns)
+        got = tree_format(doc, frag)
+    assert got == expected, (
+        "\n--- got ---\n" + got + "\n--- want ---\n" + expected)
