@@ -463,6 +463,33 @@ def q_hostile_node_counts(spark, sf_dir):
                             fields=["url", "n_nodes", "n_elements"])
 
 
+def _hostile2_pages(spark, sf_dir):
+    return pg.hostile2_pages_df(spark, sf_dir)
+
+
+def q_hostile2_serialize(spark, sf_dir):
+    """serialize(parse(hostile2_html)) vs the hand-derived spec tree —
+    pins template content, caption/colgroup, select-in-table fostering,
+    attribute character-reference rules, MathML/SVG integration points."""
+    return _hostile2_pages(spark, sf_dir).select("url", "html").mapInPandas(
+        _serialize_kernel, schema="url string, html_out string")
+
+
+def q_hostile2_inner_text(spark, sf_dir):
+    return ex.extract_pages(_hostile2_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "inner_text"])
+
+
+def q_hostile2_text_content(spark, sf_dir):
+    return ex.extract_pages(_hostile2_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "text_content"])
+
+
+def q_hostile2_node_counts(spark, sf_dir):
+    return ex.extract_pages(_hostile2_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "n_nodes", "n_elements"])
+
+
 def q_entity_text(spark, sf_dir):
     """Character-reference decoding (named/numeric/legacy refs incl.
     a&copyb and &notit;) under oracle check."""
@@ -567,6 +594,10 @@ QUERIES = {
     "hostile_inner_text": q_hostile_inner_text,
     "hostile_text_content": q_hostile_text_content,
     "hostile_node_counts": q_hostile_node_counts,
+    "hostile2_serialize": q_hostile2_serialize,
+    "hostile2_inner_text": q_hostile2_inner_text,
+    "hostile2_text_content": q_hostile2_text_content,
+    "hostile2_node_counts": q_hostile2_node_counts,
     "compat_mode": q_compat_mode,
     "entity_text": q_entity_text,
     "entity_serialize": q_entity_serialize,
@@ -772,6 +803,35 @@ ORACLES: dict[str, str] = {
         "with pages as (" + pg.hostile_pages_cte() + ") select url, "
         "cast(27 + 2 * (doc_id % 4 + 2) as bigint) as n_nodes, "
         "cast(17 + doc_id % 4 + 2 as bigint) as n_elements from pages",
+    # hostile family #2: template / caption / colgroup / select-in-table /
+    # attribute charrefs / integration points; expected values hand-derived
+    # from WHATWG 13.2.6 (see sources/pages.py hostile2 comment) —
+    # k = doc_id % 3 + 1 fostered <option>s
+    "hostile2_serialize":
+        "with pages as (" + pg.hostile2_pages_cte() + ") select url, "
+        + pg.hostile2_serialized_expr(pg.DUCK) + " as html_out from pages",
+    "hostile2_inner_text":
+        "with pages as (" + pg.hostile2_pages_cte() + ") select url, "
+        f"repeat('opt' || {NL}, doc_id % 3 + 1) || "
+        f"'cap ' || cast(doc_id as varchar) || {NL} || "
+        f"'c' || cast(doc_id as varchar) || {NL} || "
+        f"'lnk ' || cast(doc_id as varchar) || "
+        f"'m' || cast(doc_id as varchar) || 'mi' || {NL} || "
+        f"'hx ' || cast(doc_id as varchar) || {NL} || {NL} || "
+        f"'fo ' || cast(doc_id as varchar) || {NL} || {NL} || "
+        f"'tail ' || text || {NL} || {NL} as inner_text from pages",
+    "hostile2_text_content":
+        "with pages as (" + pg.hostile2_pages_cte() + ") select url, "
+        "repeat('opt', doc_id % 3 + 1) || "
+        "'cap ' || cast(doc_id as varchar) || 'c' || cast(doc_id as varchar) "
+        "|| 'lnk ' || cast(doc_id as varchar) || 'm' || cast(doc_id as varchar) "
+        "|| 'mi' || 'hx ' || cast(doc_id as varchar) "
+        "|| 'fo ' || cast(doc_id as varchar) || 'tail ' || text "
+        "as text_content from pages",
+    "hostile2_node_counts":
+        "with pages as (" + pg.hostile2_pages_cte() + ") select url, "
+        "cast(34 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
+        "cast(23 + doc_id % 3 + 1 as bigint) as n_elements from pages",
     "compat_mode":
         "with pages as (" + pg.doctype_variant_select_sql(pg.DUCK, "documents")
         + ") select url, case doc_id % 3 when 1 then 'CSS1Compat' "

@@ -223,6 +223,105 @@ def hostile_pages_cte(docs_rel: str = DOCUMENTS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hostile family #2 — the insertion modes family #1 does not reach, chosen
+# to mirror the conformance corpus's template / tests26 / menuitem /
+# foreign-fragment files (the reference's own weakest set,
+# /root/reference/lib/HTML5/DOM.pod:3325-3328).  Constructs, in order:
+#
+#   <template><b>tN</b></template> in <head>   -- "in template" mode; the
+#       content lives in a separate fragment (serializes inline, excluded
+#       from textContent)
+#   <table><caption>cap N</caption>            -- "in caption"
+#   <col>                                      -- colgroup synthesis,
+#                                                 "in column group"
+#   <select><option>opt…</select> inside table -- foster-parented select,
+#                                                 "in select in table",
+#                                                 implied </option>
+#   <tr><td>cN</table>                         -- tbody synthesis, close-cell
+#   <a href="/?x=1&amp=2&amp;y=3" title="T&copy;">
+#       attribute character references: &amp=2 stays LITERAL (named ref
+#       followed by '='), &amp;y decodes to &y, &copy; decodes to ©
+#   <menuitem>mN</menuitem>                    -- ordinary element (tests26)
+#   <math><mi>mi</mi><annotation-xml encoding="text/html"><p>hx N</p>…
+#       HTML integration point inside MathML
+#   <svg><foreignObject><p>fo N</p>…           -- HTML island in SVG
+#   <p>tail {text}                             -- unclosed, closed by </body>
+#
+# Spec tree (WHATWG 13.2.6, hand-derived; k = doc_id % 3 + 1 options):
+#   body children: select[k x option["opt"]] (fostered BEFORE the table),
+#   table[caption["cap N"], colgroup[col], tbody[tr[td["cN"]]]],
+#   a["lnk N"], menuitem["mN"], math[mi["mi"], annotation-xml[p["hx N"]]],
+#   svg[foreignObject[p["fo N"]]], p["tail " text]
+# => n_nodes = 34 + 2k (arena: document + doctype + 23+k elements + 9+k
+#    texts; template content nodes included), n_elements = 23 + k.
+# ---------------------------------------------------------------------------
+
+
+def hostile2_html_expr(dialect: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Hostile-template #2 HTML as a SQL string expression (both dialects)."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<!DOCTYPE html><html><head><template><b>t' || {i} || '</b>"
+        f"</template></head><body>"
+        f"<table><caption>cap ' || {i} || '</caption><col>"
+        f"<select>' || repeat('<option>opt', {id_col} % 3 + 1) || '</select>"
+        f"<tr><td>c' || {i} || '</table>"
+        f"<a href=\"/?x=1&amp=2&amp;y=3\" title=\"T&copy;\">lnk ' || {i} || '</a>"
+        f"<menuitem>m' || {i} || '</menuitem>"
+        f"<math><mi>mi</mi><annotation-xml encoding=\"text/html\">"
+        f"<p>hx ' || {i} || '</p></annotation-xml></math>"
+        f"<svg><foreignObject><p>fo ' || {i} || '</p></foreignObject></svg>"
+        f"<p>tail ' || {text_col} || '</body></html>'"
+    )
+
+
+def hostile2_serialized_expr(dialect: str, id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """Spec-conformant serialization of hostile template #2 — template
+    content inlined, select fostered before the table, colgroup/tbody
+    synthesized, attribute refs re-escaped (&amp=2 was never decoded so it
+    round-trips as &amp;amp=2; &copy; decoded to © and NOT re-escaped)."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<!DOCTYPE html><html><head><template><b>t' || {i} || '</b>"
+        f"</template></head><body>"
+        f"<select>' || repeat('<option>opt</option>', {id_col} % 3 + 1) || '</select>"
+        f"<table><caption>cap ' || {i} || '</caption><colgroup><col></colgroup>"
+        f"<tbody><tr><td>c' || {i} || '</td></tr></tbody></table>"
+        f"<a href=\"/?x=1&amp;amp=2&amp;y=3\" title=\"T©\">lnk ' || {i} || '</a>"
+        f"<menuitem>m' || {i} || '</menuitem>"
+        f"<math><mi>mi</mi><annotation-xml encoding=\"text/html\">"
+        f"<p>hx ' || {i} || '</p></annotation-xml></math>"
+        f"<svg><foreignObject><p>fo ' || {i} || '</p></foreignObject></svg>"
+        f"<p>tail ' || {text_col} || '</p></body></html>'"
+    )
+
+
+def hostile2_url_expr(dialect: str, id_col: str = "doc_id") -> str:
+    return f"'https://example.org/hostile2/' || {cast_str(id_col, dialect)}"
+
+
+def hostile2_select_sql(dialect: str, docs_rel: str) -> str:
+    return (
+        f"select doc_id, {hostile2_url_expr(dialect)} as url, "
+        f"{hostile2_html_expr(dialect)} as html_str, text from {docs_rel}"
+    )
+
+
+def hostile2_pages_df(spark, sf_dir: str):
+    """Spark DataFrame (doc_id, url, html binary, text) of hostile2 pages."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(hostile2_select_sql(SPARK, "__docs_src"))
+    return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
+
+
+def hostile2_pages_cte(docs_rel: str = DOCUMENTS) -> str:
+    return hostile2_select_sql(DUCK, docs_rel)
+
+
+# ---------------------------------------------------------------------------
 # Entity family — character-reference decoding under oracle check
 # (tokenizer named/numeric/legacy refs + serializer re-escaping; reference
 # behavior t/0-api.t:122, DOM.pod:1044-1046).  The soup covers: named
