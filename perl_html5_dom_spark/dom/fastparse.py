@@ -34,12 +34,21 @@ from __future__ import annotations
 from .constants import (
     FORMATTING_TAGS,
     HEADING_TAGS,
+    MATHML_TEXT_INTEGRATION,
     NS_HTML,
+    NS_MATHML,
+    NS_SVG,
+    SVG_TAG_ADJUSTMENTS,
     VOID_TAGS,
 )
 from .document import NULL, Document
 from .tokenizer import Tokenizer
-from .treebuilder import _BLOCK_START, TreeBuilder
+from .treebuilder import (
+    _BLOCK_START,
+    _FOREIGN_BREAKOUT,
+    TreeBuilder,
+    _adjust_foreign_attrs,
+)
 
 _WS = "\t\n\x0c\r "
 
@@ -99,6 +108,10 @@ _SPECIAL = (
     | frozenset(("html", "head", "body"))
 )
 
+
+#: HTML start tags accepted inside island integration points (simple,
+#: AFE-free subset: no formatting/rawtext/table/list-implied machinery)
+_ISLAND_HTML_OK = _BLOCK_START | HEADING_TAGS | _PHRASING | _BODY_VOID
 
 #: active-formatting-list marker (cell boundaries), like the full machine
 _MARKER = ("MARKER",)
@@ -478,6 +491,9 @@ class _Fast:
         if tag == "table":
             self._table(token)
             return
+        if tag in ("svg", "math"):
+            self._island(token)
+            return
         if tag not in _OK_BODY_START:
             raise _Bail
         if tag in _BLOCK_START:
@@ -563,10 +579,23 @@ class _Fast:
     # active-formatting list to the cell's marker, which a plain stack
     # pop reproduces).
 
+    def _foster_text(self, text: str, table_nid: int) -> None:
+        """WHATWG foster parenting for table character tokens: insert
+        BEFORE the table element in its parent, merging with an existing
+        previous-sibling text node.  Only reached with an empty active
+        formatting list (reconstruction into a foster position bails)."""
+        doc = self.doc
+        prev = doc.prev_sib[table_nid]
+        if prev != NULL and doc.node_type[prev] == 3:
+            doc.text[prev] = (doc.text[prev] or "") + text
+            return
+        nid = doc.new_text(text)
+        doc.insert_before(table_nid, nid)
+
     def _table(self, token) -> None:
         if not self.doc.quirks:
             self._close_p()           # spec skips the close in quirks mode
-        self._push(token)             # table
+        table_nid = self._push(token)  # table
         next_token = self.tok.next_token
         pending: tuple | None = None
         while True:
@@ -575,9 +604,24 @@ class _Fast:
             tt = token[0]
             cur = self.tags[-1]
             if tt == "char":
-                if token[1].lstrip(_WS):
-                    raise _Bail       # foster parenting: slow lane
-                self._text(token[1])
+                # spec "in table text": buffer the whole character-token
+                # run; whitespace-only stays in the table, otherwise the
+                # ENTIRE run (whitespace included) is foster-parented
+                buf = [token[1]]
+                token = next_token()
+                while token[0] == "char":
+                    buf.append(token[1])
+                    token = next_token()
+                s = "".join(buf)
+                if s.lstrip(_WS):
+                    if self.open_fmt or cur not in (
+                            "table", "tr") and cur not in _TABLE_SECTIONS:
+                        raise _Bail   # reconstruction at foster position /
+                        # text inside colgroup: slow lane
+                    self._foster_text(s, table_nid)
+                else:
+                    self._text(s)
+                pending = token       # reprocess the run terminator
                 continue
             if tt == "comment":
                 self._comment(token)
@@ -610,7 +654,28 @@ class _Fast:
                     self._push(token)
                     pending = self._cell(next_token)
                     continue
-                raise _Bail           # caption/col/colgroup/style/...
+                if tag == "caption":
+                    # spec "in table" caption: clear the stack back to a
+                    # table context, push an AFE marker, insert caption,
+                    # switch to "in caption"
+                    while self.tags[-1] != "table":
+                        self._pop()
+                    self.open_fmt.append(_MARKER)
+                    self._push(token)
+                    pending = self._caption(next_token)
+                    continue
+                if tag in ("col", "colgroup"):
+                    if cur != "table":
+                        raise _Bail   # col after tbody/tr: rare reshuffle
+                    if tag == "colgroup":
+                        self._push(token)
+                    else:             # bare <col>: synthesize the group
+                        self._push(None, "colgroup")
+                        nid = self._el(token)
+                        self._append(nid)
+                    pending = self._colgroup(next_token)
+                    continue
+                raise _Bail           # form/script/style/template/...
             if tt == "end":
                 tag = token[1]
                 if tag == "table":
@@ -677,6 +742,82 @@ class _Fast:
                 self._body_end(tag)
                 continue
             raise _Bail               # eof inside a cell
+
+    def _caption(self, next_token):
+        """Consume "in caption" content (in-body rules plus the caption
+        closer set); returns a token to reprocess at table level, or
+        None.  Closing mirrors _close_cell: pop to the caption, clear the
+        AFE to the marker pushed at entry."""
+        cap_idx = len(self.stack) - 1
+        while True:
+            token = next_token()
+            tt = token[0]
+            if tt == "char":
+                if self.open_fmt:
+                    self._reconstruct()
+                self._text(token[1])
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                tag = token[1]
+                if tag in _CELL_CLOSERS:   # td/th/tr/sections/caption/col(group)
+                    self._close_cell(cap_idx)
+                    return token      # reprocess at table level
+                self._body_start(token)
+                continue
+            if tt == "end":
+                tag = token[1]
+                if tag == "caption":
+                    self._close_cell(cap_idx)
+                    return None
+                if tag == "table":
+                    self._close_cell(cap_idx)
+                    return token
+                if tag in _CELL_CLOSERS:
+                    continue          # parse error: ignore
+                if tag in ("body", "html"):
+                    raise _Bail
+                self._body_end(tag)
+                continue
+            raise _Bail               # eof inside a caption
+
+    def _colgroup(self, next_token):
+        """Consume "in column group" content; returns a token to
+        reprocess at table level, or None (saw </colgroup>)."""
+        while True:
+            token = next_token()
+            tt = token[0]
+            if tt == "start" and token[1] == "col":
+                nid = self._el(token)
+                self._append(nid)
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "char":
+                s = token[1]
+                stripped = s.lstrip(_WS)
+                lead = s[: len(s) - len(stripped)]
+                if lead:
+                    self._text(lead)  # whitespace stays in the colgroup
+                if stripped:
+                    # anything-else: pop the colgroup, reprocess the rest
+                    # at table level (where it foster-parents)
+                    self._pop()
+                    return ("char", stripped)
+                continue
+            if tt == "end":
+                if token[1] == "colgroup":
+                    self._pop()
+                    return None
+                if token[1] == "col":
+                    continue          # parse error: ignore
+            # anything else (start tag, other end tag, eof): pop the
+            # colgroup and reprocess at table level
+            self._pop()
+            return token
 
     def _close_cell(self, cell_idx: int) -> None:
         # spec "close the cell": implied end tags, pop until the cell,
@@ -747,7 +888,24 @@ class _Fast:
                     # (_pop removes the newest on-stack entry == e)
                     self._pop()
                     return
-                raise _Bail       # on stack, not top: real AAA
+                # On stack, not top.  AAA step 7: if there is NO furthest
+                # block (no special element above the formatting element
+                # on the stack), pop everything up to and including it
+                # and remove its AFE entry; formatting elements popped on
+                # the way stay in the AFE off-stack (reconstructed at the
+                # next insertion) — the <b>x<i>y</b>z</i> shape.  e is the
+                # newest same-tag AFE entry, hence the TOPMOST same-tag
+                # stack occurrence.
+                idx = len(tags) - 1 - tags[::-1].index(tag)
+                for t in tags[idx + 1:]:
+                    if t in _SPECIAL or t in _CELL_CLOSERS or t == "table":
+                        raise _Bail   # furthest block exists: real AAA
+                while len(tags) - 1 > idx:
+                    self._pop_implicit()
+                self.stack.pop()
+                self.tags.pop()
+                self.open_fmt.remove(e)
+                return
             # not in the AFE tail at all: "any other end tag" rules —
             # fall through to the generic walk below
         # blocks and any-other end tags share the walk-down rule
@@ -763,6 +921,172 @@ class _Fast:
             if tag not in _BLOCK_START and t in _SPECIAL:
                 return                # ignore token
         return                        # not found: ignore
+
+    # -- foreign-content islands (WHATWG 13.2.6.5, the common subset) ----
+    #
+    # Handled: SVG tag/attribute case adjustment, self-closing foreign
+    # elements, text/comments, matched end tags, CDATA sections (the
+    # tokenizer's allow_cdata mirrors the full machine's adjusted-current-
+    # node rule), HTML integration points (svg foreignObject/desc/title,
+    # annotation-xml with an HTML encoding) and MathML text integration
+    # points holding SIMPLE well-nested HTML (phrasing/blocks/voids, a
+    # lone implied-closed <p>).  Bails on: breakout start tags, rawtext/
+    # formatting/table elements inside integration points, end tags that
+    # would cross out of the island, EOF inside the island.
+
+    def _island_html_integration(self, ns: int, tag: str, attrs) -> bool:
+        if ns == NS_SVG and tag in ("foreignObject", "desc", "title"):
+            return True
+        if ns == NS_MATHML and tag == "annotation-xml":
+            enc = (attrs or {}).get("encoding", "").lower()
+            return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _island(self, token) -> None:
+        doc = self.doc
+        tok = self.tok
+        next_token = tok.next_token
+        if self.open_fmt:
+            self._reconstruct()       # in-body svg/math start reconstructs
+        root_ns = NS_SVG if token[1] == "svg" else NS_MATHML
+        nid = self._el(token)
+        doc.ns[nid] = root_ns
+        doc.attrs[nid] = _adjust_foreign_attrs(
+            token[2] or (), svg=root_ns == NS_SVG,
+            mathml=root_ns == NS_MATHML) or None
+        self._append(nid)
+        if token[3]:
+            return                    # self-closing root: no island
+        # island stack: (nid, ns, tag) — never touches self.stack/tags
+        ist = [(nid, root_ns, token[1])]
+        try:
+            while ist:
+                top_nid, top_ns, top_tag = ist[-1]
+                tok.allow_cdata = top_ns != NS_HTML
+                token = next_token()
+                tt = token[0]
+                # --- dispatch (full machine _dispatch, island-local) ---
+                html_rules = top_ns == NS_HTML
+                svg_in_axml = False
+                if not html_rules and top_ns == NS_MATHML:
+                    if top_tag in MATHML_TEXT_INTEGRATION:
+                        if tt == "char" or (
+                                tt == "start"
+                                and token[1] not in ("mglyph", "malignmark")):
+                            html_rules = True
+                    elif (top_tag == "annotation-xml" and tt == "start"
+                          and token[1] == "svg"):
+                        svg_in_axml = True
+                if not html_rules and not svg_in_axml and tt in (
+                        "char", "start") and self._island_html_integration(
+                        top_ns, top_tag, doc.attrs[top_nid]):
+                    html_rules = True
+
+                if html_rules:
+                    self._island_html(token, ist)
+                    continue
+                # --- foreign content rules ---
+                if tt == "char":
+                    self._text(token[1].replace("\x00", "�"),
+                               parent=top_nid)
+                    continue
+                if tt == "comment":
+                    self._comment(token, parent=top_nid)
+                    continue
+                if tt == "start":
+                    tag = token[1]
+                    if tag in _FOREIGN_BREAKOUT or (tag == "font" and any(
+                            k in ("color", "face", "size")
+                            for k, _ in token[2])):
+                        raise _Bail   # breakout: pops + body reprocess
+                    ns = NS_SVG if svg_in_axml else top_ns
+                    if ns == NS_SVG:
+                        tag = SVG_TAG_ADJUSTMENTS.get(tag, tag)
+                        attrs = _adjust_foreign_attrs(token[2] or (), svg=True)
+                    else:
+                        attrs = _adjust_foreign_attrs(token[2] or (),
+                                                      mathml=True)
+                    nid = self._el(token, tag=tag)
+                    doc.ns[nid] = ns
+                    doc.attrs[nid] = attrs or None
+                    doc.append_child(top_nid, nid)
+                    if not token[3]:
+                        ist.append((nid, ns, tag))
+                    continue
+                if tt == "end":
+                    tag = token[1]
+                    i = len(ist) - 1
+                    while True:
+                        if ist[i][2].lower() == tag:
+                            del ist[i:]
+                            break
+                        i -= 1
+                        if i < 0 or ist[i][1] == NS_HTML:
+                            raise _Bail   # would re-enter HTML rules
+                    continue
+                raise _Bail           # eof / doctype inside the island
+        finally:
+            tok.allow_cdata = False
+
+    def _island_html(self, token, ist) -> None:
+        """HTML-rules tokens at an integration point: the simple
+        well-nested subset (full machine: _process via in-body)."""
+        doc = self.doc
+        top_nid, top_ns, top_tag = ist[-1]
+        tt = token[0]
+        if tt == "char":
+            self._text(token[1].replace("\x00", ""), parent=top_nid)
+            return
+        if tt == "comment":
+            self._comment(token, parent=top_nid)
+            return
+        if tt == "start":
+            tag = token[1]
+            if tag in ("svg", "math"):
+                nid = self._el(token)
+                ns = NS_SVG if tag == "svg" else NS_MATHML
+                doc.ns[nid] = ns
+                doc.attrs[nid] = _adjust_foreign_attrs(
+                    token[2] or (), svg=ns == NS_SVG,
+                    mathml=ns == NS_MATHML) or None
+                doc.append_child(top_nid, nid)
+                if not token[3]:
+                    ist.append((nid, ns, tag))
+                return
+            if tag not in _ISLAND_HTML_OK:
+                raise _Bail           # formatting/table/rawtext/...
+            if tag in _BLOCK_START or tag in HEADING_TAGS:
+                # close an open <p> at the integration point (in-body
+                # close-p; only the directly-open case stays fast)
+                if top_ns == NS_HTML and top_tag == "p":
+                    ist.pop()
+                    top_nid, top_ns, top_tag = ist[-1]
+                elif any(e[1] == NS_HTML and e[2] == "p" for e in ist):
+                    raise _Bail
+            if tag in HEADING_TAGS and top_ns == NS_HTML \
+                    and top_tag in HEADING_TAGS:
+                ist.pop()             # in-body: heading closes heading
+                top_nid = ist[-1][0]
+            nid = self._el(token)
+            doc.append_child(top_nid, nid)
+            if tag not in VOID_TAGS:
+                # (a stray self-closing flag on a non-void HTML tag is a
+                # parse error the spec ignores: the element stays open)
+                ist.append((nid, NS_HTML, tag))
+            return
+        if tt == "end":
+            tag = token[1]
+            if top_ns == NS_HTML and top_tag == tag:
+                ist.pop()
+                return
+            # implied </p> before a block end tag
+            if (top_ns == NS_HTML and top_tag == "p"
+                    and len(ist) >= 2 and ist[-2][1] == NS_HTML
+                    and ist[-2][2] == tag):
+                del ist[-2:]
+                return
+            raise _Bail               # any-other-end-tag walk: slow lane
+        raise _Bail
 
     def _after_body(self, next_token, saw_html_end: bool) -> None:
         doc = self.doc

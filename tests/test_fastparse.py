@@ -168,7 +168,7 @@ def test_differential_fuzz_formatting(src):
 
 
 _table_tags = st.sampled_from(
-    "table tr td th tbody thead tfoot caption div p b ul li".split())
+    "table tr td th tbody thead tfoot caption col colgroup div p b ul li".split())
 
 
 @st.composite
@@ -186,6 +186,33 @@ def table_soup(draw):
 @settings(max_examples=500, deadline=None)
 @given(table_soup())
 def test_differential_fuzz_tables(src):
+    assert_equal_trees(src)
+
+
+_foreign_tags = st.sampled_from(
+    "svg math circle rect g path title desc foreignObject mi mo ms mtext "
+    "annotation-xml textpath lineargradient p div span b script use text".split())
+
+
+@st.composite
+def foreign_soup(draw):
+    """Foreign-content generator targeting the island sub-parser and its
+    bail boundaries (breakout tags, integration points, CDATA, crossing
+    end tags, self-closing)."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 14))):
+        t = draw(_foreign_tags)
+        parts.append(draw(st.sampled_from(
+            [f"<{t}>", f"</{t}>", f"<{t}/>", "x", " ", "<!-- c -->",
+             "<![CDATA[d<e]]>",
+             f'<{t} encoding="text/html">',
+             f'<{t} viewBox="0 0 1 1" stroke-width="2">'])))
+    return "".join(parts)
+
+
+@settings(max_examples=600, deadline=None)
+@given(foreign_soup())
+def test_differential_fuzz_foreign(src):
     assert_equal_trees(src)
 
 
