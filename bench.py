@@ -91,9 +91,9 @@ def main() -> None:
     bench("extract_main", lambda: extract_pages(
         pages, fields=["url", "main_text", "spans"])
         .agg(F.sum(F.length("main_text")), F.count("*")).collect())
-    # q1c: the FULL insertion-mode machine (hostile pages bail out of the
-    # fast lane on fostered table text) — the slow-lane throughput a real
-    # crawl's worst pages see
+    # q1c: adversarial pages (adoption agency, fostered table text,
+    # foreign content) — since the round-3 fast-lane widening these run
+    # in the fast lane end-to-end; the differential fuzz guards parity
     from perl_html5_dom_spark.sources.pages import hostile_pages_df
     hostile = hostile_pages_df(spark, sf_dir)
     bench("extract_hostile", lambda: extract_pages(

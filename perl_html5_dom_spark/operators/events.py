@@ -142,31 +142,67 @@ def _session_fn(key, pdfs, state):
     """applyInPandasWithState body: merge the batch's events into the
     per-user open session; emit every session CLOSED by the gap rule.
     The still-open session stays in state (emitted never — the batch
-    oracle drops each user's final session to match)."""
+    oracle drops each user's final session to match).
+
+    Vectorized: NumPy gap-diff segments the whole batch; Python touches
+    only the state seam (merge-or-close the carried open session)."""
+    import numpy as np
     import pandas as pd
 
     gap_us = SESSION_GAP_S * 1_000_000
     (user_id,) = key
-    events = []
+    ts_l, v_l, id_l = [], [], []
     for pdf in pdfs:
-        for ts, v, eid in zip(pdf["ts"], pdf["value"], pdf["event_id"]):
-            events.append((int(pd.Timestamp(ts).value) // 1000, float(v),
-                           int(eid)))
-    events.sort(key=lambda e: (e[0], e[2]))
+        ts_l.append(pdf["ts"].to_numpy(
+            dtype="datetime64[ns]").astype("int64") // 1000)
+        v_l.append(pdf["value"].to_numpy(dtype="float64"))
+        id_l.append(pdf["event_id"].to_numpy(dtype="int64"))
+    ts = np.concatenate(ts_l) if ts_l else np.empty(0, dtype="int64")
+    if len(ts) == 0:
+        if state.exists:
+            state.update(state.get)   # keep the open session untouched
+        return
+    v = np.concatenate(v_l)
+    order = np.lexsort((np.concatenate(id_l), ts))
+    ts, v = ts[order], v[order]
+
     if state.exists:
-        start_us, last_us, n, total, idx = state.get
+        start_us, last_us, n0, total0, idx = state.get
     else:
         start_us = None
+
+    # new[i] = event i opens a new session (gap vs the previous event,
+    # or vs the carried session's last event for i = 0)
+    new = np.empty(len(ts), dtype=bool)
+    new[0] = start_us is None or ts[0] - last_us > gap_us
+    if len(ts) > 1:
+        np.greater(ts[1:] - ts[:-1], gap_us, out=new[1:])
+    starts = np.flatnonzero(new)
+    cont = not new[0]                 # segment 0 continues the open session
+    if cont:
+        starts = np.concatenate(([0], starts))
+    ends = np.append(starts[1:], len(ts))
+    counts = (ends - starts).tolist()
+    totals = np.add.reduceat(v, starts).tolist()
+    seg_start = ts[starts].tolist()
+    seg_end = ts[ends - 1].tolist()
+
     closed = []
-    for ts_us, v, _eid in events:
-        if start_us is None:
-            start_us, last_us, n, total, idx = ts_us, ts_us, 1, v, 0
-        elif ts_us - last_us > gap_us:
-            closed.append((user_id, idx, n, start_us, last_us, round(total, 6)))
-            start_us, last_us, n, total, idx = ts_us, ts_us, 1, v, idx + 1
-        else:
-            last_us, n, total = ts_us, n + 1, total + v
-    state.update((start_us, last_us, n, total, idx))
+    if start_us is None:
+        idx = 0
+    elif cont:
+        counts[0] += n0
+        totals[0] += total0
+        seg_start[0] = start_us
+    else:                             # the carried session closes first
+        closed.append((user_id, idx, n0, start_us, last_us,
+                       round(total0, 6)))
+        idx += 1
+    for k in range(len(counts) - 1):
+        closed.append((user_id, idx + k, counts[k], seg_start[k],
+                       seg_end[k], round(totals[k], 6)))
+    state.update((seg_start[-1], seg_end[-1], counts[-1], totals[-1],
+                  idx + len(counts) - 1))
     if closed:
         yield pd.DataFrame(closed, columns=[
             "user_id", "session_idx", "n_events", "t_start_us", "t_end_us",

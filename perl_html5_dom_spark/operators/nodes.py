@@ -104,10 +104,14 @@ def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
                     end = doc.subtree_end
                     data["subtree_end"].extend(end[n] for n in nids)
                 if "depth" in want:
+                    # depth needs every ancestor; pre-order guarantees a
+                    # parent is filled before its children, so a flat
+                    # list (no dict hashing) suffices
                     par = doc.parent
-                    depth = {doc.root: 0}
-                    for n in order:  # depth needs every ancestor
-                        depth[n] = depth.get(par[n], -1) + 1
+                    depth = [0] * len(par)
+                    for n in order:
+                        p = par[n]
+                        depth[n] = depth[p] + 1 if p != -1 else 0
                     data["depth"].extend(depth[n] for n in nids)
                 if "tag" in want:
                     tag = doc.tag
