@@ -147,13 +147,15 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = 16, bands: int = 4,
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
-                  max_df: int | None = None) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs (a, b, jaccard ≥ threshold).
+                  max_df: int | None = 8) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs (a, b, jaccard ≥ threshold) — the
+    default API, with the stop-shingle cut ON (``max_df``): shingles
+    seen in more than ``max_df`` docs are dropped before the self-join,
+    the standard cut that keeps the candidate fan-out linear at 100 TB.
+    ``jaccard_pairs_exact`` is the uncapped oracle gold standard.
 
-    Complete: any pair with jaccard > 0 shares a shingle, so the shingle
-    equi-join generates every candidate.  ``max_df`` drops stop-shingles
-    (doc frequency cap) — the standard scale cut; leave None for exact
-    small-scale/oracle runs."""
+    Complete over kept shingles: any pair with jaccard > 0 over them
+    shares one, so the shingle equi-join generates every candidate."""
     sh = _materialize(_shingles(docs, k))  # sizes + both join sides
     if max_df is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
@@ -166,6 +168,15 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
         .agg(F.count("*").alias("inter"))
     )
     return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def jaccard_pairs_exact(docs: DataFrame, threshold: float = 0.5,
+                        k: int = 3) -> DataFrame:
+    """UNCAPPED shingle-Jaccard — the small-scale ORACLE gold standard
+    (not the default API; reach for ``jaccard_pairs``).  The shingle
+    self-join fan-out is quadratic in document frequency: correct for
+    oracle runs, a scale-killer beyond them."""
+    return jaccard_pairs(docs, threshold=threshold, k=k, max_df=None)
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,

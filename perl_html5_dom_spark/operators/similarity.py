@@ -53,13 +53,16 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
     )
 
 
-def cosine_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def cosine_near_dups_exact(emb: DataFrame,
+                           threshold: float = 0.95) -> DataFrame:
     """(a, b, cosine ≥ threshold): embedding near-duplicate pairs —
-    EXACT all-pairs, the small-scale gold standard.
+    EXACT all-pairs, the small-scale ORACLE gold standard (not the
+    default API; reach for ``cosine_near_dups``).
 
     The self-join is a nested-loop cartesian: correct for oracle runs,
     a scale-killer beyond them.  The production path at 100 TB is
-    ``cosine_near_dups_lsh`` below (equi-join on bucket keys, no NLJ)."""
+    ``cosine_near_dups`` (= the LSH form: equi-join on bucket keys,
+    no NLJ)."""
     l = emb.selectExpr("vec_id as a", "embedding as va")
     r = emb.selectExpr("vec_id as b", "embedding as vb")
     return (
@@ -156,6 +159,12 @@ def cosine_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+#: default API: near-duplicate detection routes to the LSH plan — the
+#: 100 TB path.  The exact all-pairs form is ``cosine_near_dups_exact``
+#: (oracle gold standard only).
+cosine_near_dups = cosine_near_dups_lsh
 
 
 def _materialize_small(df: DataFrame) -> DataFrame:

@@ -290,7 +290,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    return dd.jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    return dd.jaccard_pairs_exact(_corpus(spark, sf_dir), threshold=0.5)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -326,7 +326,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_cosine_near_dups(spark, sf_dir):
-    return sim.cosine_near_dups(_emb(spark, sf_dir), threshold=0.3)
+    return sim.cosine_near_dups_exact(_emb(spark, sf_dir), threshold=0.3)
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -346,7 +346,7 @@ def q_dedup_jaccard_capped(spark, sf_dir):
     """The 100 TB jaccard path: stop-shingles dropped via max_df before
     the shingle self-join (bounds the worst key's fan-out); the oracle
     applies the identical cap."""
-    return dd.jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5, max_df=8)
+    return dd.jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
 def q_h1_text(spark, sf_dir):

@@ -22,9 +22,9 @@ def corpus(spark, docs):
 
 def test_minhash_is_subset_of_exact_jaccard(spark, corpus):
     from perl_html5_dom_spark.operators.dedup import (
-        jaccard_pairs, minhash_near_dups)
+        jaccard_pairs_exact, minhash_near_dups)
 
-    exact = {(r.a, r.b) for r in jaccard_pairs(corpus, 0.5).collect()}
+    exact = {(r.a, r.b) for r in jaccard_pairs_exact(corpus, 0.5).collect()}
     lsh = {(r.a, r.b) for r in minhash_near_dups(corpus, 0.5).collect()}
     assert lsh <= exact                       # LSH never invents pairs
     assert len(lsh) >= 0.9 * len(exact)       # and recall stays high
