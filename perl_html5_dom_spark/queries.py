@@ -612,6 +612,21 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 NL = "chr(10)"
+
+# derived from sources.pages.ENCODING_VARIANTS so oracle and generator
+# cannot drift: canonical-name CASE, byte-size CASE, utf-16 indices
+_N_ENC = len(pg.ENCODING_VARIANTS)
+_ENC_NAME_CASE = f"case doc_id % {_N_ENC} " + " ".join(
+    f"when {i} then '{name}'"
+    for i, (name, _l, _c) in enumerate(pg.ENCODING_VARIANTS)) + " end"
+_ENC_SIZE_CASE = f"case doc_id % {_N_ENC} " + " ".join(
+    f"when {i} then " + (
+        "2 * length(html_str) + 2" if label is None
+        else f"length(html_str) + {len(label) - len('utf-8')}")
+    for i, (_n, label, _c) in enumerate(pg.ENCODING_VARIANTS)) + " end"
+_ENC_BOM_IDX = ", ".join(
+    str(i) for i, (_n, label, _c) in enumerate(pg.ENCODING_VARIANTS)
+    if label is None)
 _DH = "cast(('0x' || substr(md5({s}), 1, 15)) as bigint)"  # H() in DuckDB
 _P = dd.P
 
@@ -705,24 +720,13 @@ ORACLES: dict[str, str] = {
         f"{PAGES_CTE} select url, cast(strpos(html_str, '<a href=\"/\">') - 1 as bigint) "
         f"as begin from pages",
     "detect_encoding":
-        f"{PAGES_CTE} select url, case doc_id % 8 when 0 then 'UTF-8' "
-        f"when 1 then 'WINDOWS-1251' when 2 then 'KOI8-R' when 3 then 'UTF-16LE' "
-        f"when 4 then 'WINDOWS-1252' when 5 then 'ISO-8859-2' "
-        f"when 6 then 'UTF-16BE' else 'KOI8-U' end "
-        f"as encoding from pages",
+        f"{PAGES_CTE} select url, {_ENC_NAME_CASE} as encoding from pages",
     "binary_meta":
         # size delta = len(meta label) - len('utf-8'); utf-16 = 2N + BOM
-        f"{PAGES_CTE} select url, cast(case doc_id % 8 "
-        f"when 0 then length(html_str) "
-        f"when 1 then length(html_str) + 7 "   # windows-1251
-        f"when 2 then length(html_str) + 1 "   # koi8-r
-        f"when 3 then 2 * length(html_str) + 2 "
-        f"when 4 then length(html_str) + 7 "   # windows-1252
-        f"when 5 then length(html_str) + 5 "   # iso-8859-2
-        f"when 6 then 2 * length(html_str) + 2 "
-        f"else length(html_str) + 1 end as bigint) as n_bytes, "  # koi8-u
-        f"case when doc_id % 8 in (3, 6) then 'utf16-bom' else 'html' end "
-        f"as kind from pages",
+        # (pure-ASCII corpus: every non-utf-16 codec is 1 byte/char)
+        f"{PAGES_CTE} select url, cast({_ENC_SIZE_CASE} as bigint) as n_bytes, "
+        f"case when doc_id % {_N_ENC} in ({_ENC_BOM_IDX}) then 'utf16-bom' "
+        f"else 'html' end as kind from pages",
     "multimodal_meta":
         "select doc_id, cast(doc_id % 640 + 1 as bigint) as width, "
         "cast(doc_id % 480 + 1 as bigint) as height, "

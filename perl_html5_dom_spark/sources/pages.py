@@ -397,10 +397,14 @@ def doctype_variant_select_sql(dialect: str, docs_rel: str) -> str:
     )
 
 
-#: encoding variant per doc_id % 8 — exercises the sniffing pipeline
-#: (meta prescan for the single-byte charsets, BOM for utf-16 LE/BE;
-#: reference utils.c:620-649 order).  (canonical name, meta label or
-#: None for BOM, python codec)
+#: encoding variant per doc_id % 20 — exercises the sniffing pipeline
+#: (meta prescan for the ASCII-compatible charsets, BOM for utf-16
+#: LE/BE; reference utils.c:620-649 order) across the reference's label
+#: families (lib/HTML5/DOM.pod:3138-3194): cyrillic, central-european,
+#: greek, turkish, CJK multi-byte.  The corpus text is pure ASCII, so
+#: every non-utf-16 variant is exactly 1 byte/char and the binary_meta
+#: oracle's size arithmetic is len(html) + len(label) - len('utf-8').
+#: (canonical name, meta label or None for BOM, python codec)
 ENCODING_VARIANTS = [
     ("UTF-8", "utf-8", "utf-8"),
     ("WINDOWS-1251", "windows-1251", "windows-1251"),
@@ -410,11 +414,24 @@ ENCODING_VARIANTS = [
     ("ISO-8859-2", "iso-8859-2", "iso8859-2"),
     ("UTF-16BE", None, "utf-16-be"),
     ("KOI8-U", "koi8-u", "koi8-u"),
+    ("SHIFT_JIS", "shift_jis", "shift_jis"),
+    ("EUC-JP", "euc-jp", "euc_jp"),
+    ("EUC-KR", "euc-kr", "euc_kr"),
+    ("GBK", "gbk", "gbk"),
+    ("GB18030", "gb18030", "gb18030"),
+    ("BIG5", "big5", "big5"),
+    ("WINDOWS-1250", "windows-1250", "cp1250"),
+    ("WINDOWS-1253", "windows-1253", "cp1253"),
+    ("WINDOWS-1254", "windows-1254", "cp1254"),
+    ("ISO-8859-5", "iso-8859-5", "iso8859-5"),
+    ("ISO-8859-7", "iso-8859-7", "iso8859-7"),
+    ("ISO-8859-15", "iso-8859-15", "iso8859-15"),
 ]
 
 
 def encoded_pages_df(spark, sf_dir: str):
-    """Pages with html bytes rotating over 8 encodings (doc_id % 8):
+    """Pages with html bytes rotating over the ENCODING_VARIANTS
+    table (doc_id % len):
     single-byte charsets get their ``<meta charset>`` label rewritten,
     utf-16 LE/BE get a BOM.  Byte encoding happens in the Arrow kernel —
     Spark's ``encode()`` only supports unicode charsets."""
@@ -430,7 +447,8 @@ def encoded_pages_df(spark, sf_dir: str):
         for pdf in batches:
             out = {"doc_id": [], "url": [], "html": []}
             for did, url, s in zip(pdf["doc_id"], pdf["url"], pdf["html_str"]):
-                _, label, codec = ENCODING_VARIANTS[int(did) % 8]
+                _, label, codec = ENCODING_VARIANTS[
+                    int(did) % len(ENCODING_VARIANTS)]
                 if label is None:
                     bom = (codecs.BOM_UTF16_LE if codec == "utf-16-le"
                            else codecs.BOM_UTF16_BE)
