@@ -86,12 +86,45 @@ def run_file(path: Path) -> tuple[int, int, list[str]]:
     return ok, fail, failures
 
 
+def selftest() -> int:
+    """Run the in-repo hand-derived goldens through the SAME .dat loader
+    and scoring path the external corpus would take, so a corpus drop-in
+    needs zero code changes (just point HTML5LIB_TESTS_DIR at it)."""
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    import test_tree_goldens as G
+
+    with tempfile.TemporaryDirectory(prefix="html5lib_selftest_") as td:
+        (Path(td) / "goldens1.dat").write_text(G.DAT.strip("\n") + "\n")
+        (Path(td) / "goldens2.dat").write_text(G.DAT2.strip("\n") + "\n")
+        total_ok = total_fail = 0
+        for f in sorted(Path(td).glob("*.dat")):
+            ok, fail, failures = run_file(f)
+            total_ok += ok
+            total_fail += fail
+            print(f"{f.name:32s} ok={ok:4d} fail={fail:3d}")
+            for d in failures[:3]:
+                print(f"    FAIL: {d!r}")
+        print(f"TOTAL ok={total_ok} fail={total_fail} "
+              f"({total_ok}/{total_ok + total_fail})")
+    return 0 if total_fail == 0 else 1
+
+
 def main() -> int:
-    if len(sys.argv) < 2:
+    import os
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--selftest":
+        return selftest()
+    if len(sys.argv) >= 2:
+        root = Path(sys.argv[1])
+        names = sys.argv[2:]
+    elif os.environ.get("HTML5LIB_TESTS_DIR"):
+        root = Path(os.environ["HTML5LIB_TESTS_DIR"])
+        names = []
+    else:
         print(__doc__)
         return 2
-    root = Path(sys.argv[1])
-    names = sys.argv[2:]
     files = ([root / n for n in names] if names
              else sorted(root.glob("*.dat")))
     total_ok = total_fail = 0
