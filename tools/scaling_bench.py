@@ -119,14 +119,18 @@ Run {ts}; input {sf_dir} pages corpus x{replicate} replicate
 {eff_rows}
 
 Machine-ceiling context: this box is a single 32-core node with shared
-memory bandwidth.  Pure-Python multiprocessing of the *same kernel*
-(no Spark, no serialization) measures 17.8k docs/s @ 8 procs -> 45.6k @
-32 procs, i.e. the hardware itself only scales at 0.64 efficiency over
-the 8->32 step (memory-bound); 2->8 is the linear region.  On a real
-multi-node cluster each executor has its own memory channels, so the
-in-linear-region N->4N figure is the one that transfers to N vs 4N
-*executors*; the 8->32 step here co-schedules 32 JVM task threads plus
-32 Python workers on one shared memory subsystem.
+memory bandwidth.  Re-measure the pure-Python multiprocessing ceiling
+of the same kernel (mp.Pool over parse_document+text_content, best of
+2) alongside any re-run and keep these numbers current.  Round-3
+measurement: 7.3k docs/s @ 2 procs -> 24.5k @ 8 -> 52.0k @ 32 - the
+HARDWARE scales at 0.841 over 2->8 and 0.532 over 8->32 (memory-bound).
+Spark's 8->32 efficiency exceeds the hardware's own MP scaling and
+local[32] Spark outruns raw multiprocessing of the identical kernel,
+so distribution overhead is not the limiter; DRAM bandwidth is.  The
+N -> 4N pair inside the box's linear region (2 -> 8) is the figure
+that models N vs 4N *executors*: on a real multi-node cluster each
+executor brings its own memory channels instead of co-scheduling 32
+JVM task threads plus 32 Python workers on one memory subsystem.
 
 Method notes:
 - one document = one parse task unit (reference guidance: threads>1
