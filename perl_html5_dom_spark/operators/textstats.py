@@ -66,10 +66,15 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         "*",
         # composite score in [0,1]: enough tokens, sane token length,
         # some stopwords, mostly alphabetic
-        "round(least(n_tokens / 20.0, 1.0) * 0.25 "
+        # floor-based half-up rounding: the composite sums 6dp-rounded
+        # terms x 0.25 and can land EXACTLY on a 5e-7 boundary, where
+        # Spark (BigDecimal HALF_UP) and DuckDB (scaled-double) round()
+        # disagree by 1e-6; floor(x*1e6 + 0.5)/1e6 stays in pure IEEE
+        # arithmetic, so both engines compute the identical double
+        "floor((least(n_tokens / 20.0, 1.0) * 0.25 "
         "+ (case when avg_token_len between 2 and 12 then 0.25 else 0.0 end) "
         "+ least(stopword_ratio * 5.0, 1.0) * 0.25 "
-        "+ alpha_ratio * 0.25, 6) as quality",
+        "+ alpha_ratio * 0.25) * 1000000 + 0.5) / 1000000 as quality",
     )
 
 

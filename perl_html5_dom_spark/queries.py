@@ -44,8 +44,13 @@ URL = "'https://example.org/doc/' || cast(doc_id as varchar)"
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
+    # single-row-group driver parquet = one scan partition; repartition
+    # the narrow rows so downstream kernels/joins use the whole cluster
+    # (pages.read_docs rationale)
+    pg.read_docs(spark, sf_dir).createOrReplaceTempView("documents")
+    n = spark.sparkContext.defaultParallelism
+    (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+     .repartition(n, "vec_id").createOrReplaceTempView("embeddings"))
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +63,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # repartition the one-row-group driver file (read_docs rationale):
+    # the LSH bucket projection is md5-heavy per row
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
 
 
 PAGES_CTE = "with pages as (" + pg.pages_cte() + ")"
@@ -508,7 +516,7 @@ def q_entity_serialize(spark, sf_dir):
 def q_compat_mode(spark, sf_dir):
     """Quirks-mode table parity (reference compatMode, DOM.xs:1256-1268):
     missing doctype and quirky public ids => BackCompat."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = pg.read_docs(spark, sf_dir)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(pg.doctype_variant_select_sql(pg.SPARK, "__docs_src"))
     return df.selectExpr("url", "encode(html_str, 'utf-8') as html").mapInPandas(
@@ -961,8 +969,8 @@ ORACLES["quality_scores"] = (
     " round(stop_hits / nt, 6) as stopword_ratio, "
     " round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / nc, 6) as alpha_ratio "
     " from b) "
-    "select *, round(least(n_tokens / 20.0, 1.0) * 0.25 "
+    "select *, floor((least(n_tokens / 20.0, 1.0) * 0.25 "
     " + (case when avg_token_len between 2 and 12 then 0.25 else 0.0 end) "
     " + least(stopword_ratio * 5.0, 1.0) * 0.25 "
-    " + alpha_ratio * 0.25, 6) as quality from r"
+    " + alpha_ratio * 0.25) * 1000000 + 0.5) / 1000000 as quality from r"
 )

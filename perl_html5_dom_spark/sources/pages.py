@@ -108,19 +108,25 @@ def pages_select_sql(dialect: str, docs_rel: str, replicate: int = 1) -> str:
     )
 
 
+def read_docs(spark, sf_dir: str, partitions: int | None = None):
+    """documents.parquet, repartitioned on doc_id BEFORE the html
+    template fan-out.  The driver's parquet files are written as a
+    single row group, so a direct scan is ONE Spark partition — every
+    downstream parse kernel would run on one core.  The rows are narrow
+    (~300 B), so this shuffle is noise next to the parse cost; at 100 TB
+    it is the salted url-hash repartition of the Iceberg scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = partitions or spark.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
+
+
 def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = None):
     """Spark DataFrame of pages: (doc_id, url, warc_ts, html binary, text, lang).
 
     ``html`` is a real binary column (utf-8 bytes) as per input_hint; at
     scale this is the Iceberg ``pages`` table scan instead.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if partitions:
-        # shuffle the narrow source rows (~300 B each), BEFORE the html
-        # template fan-out — at 100 TB this is the salted url-hash
-        # repartition of the Iceberg scan (plans/pipeline.py), never a
-        # shuffle of built page bytes
-        docs = docs.repartition(partitions, "doc_id")
+    docs = read_docs(spark, sf_dir, partitions)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(pages_select_sql(SPARK, "__docs_src", replicate))
     return df.selectExpr(
@@ -212,7 +218,7 @@ def hostile_select_sql(dialect: str, docs_rel: str) -> str:
 
 def hostile_pages_df(spark, sf_dir: str):
     """Spark DataFrame (doc_id, url, html binary, text) of hostile pages."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(spark, sf_dir)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(hostile_select_sql(SPARK, "__docs_src"))
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
@@ -311,7 +317,7 @@ def hostile2_select_sql(dialect: str, docs_rel: str) -> str:
 
 def hostile2_pages_df(spark, sf_dir: str):
     """Spark DataFrame (doc_id, url, html binary, text) of hostile2 pages."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(spark, sf_dir)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(hostile2_select_sql(SPARK, "__docs_src"))
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
@@ -357,7 +363,7 @@ def entity_select_sql(dialect: str, docs_rel: str) -> str:
 
 
 def entity_pages_df(spark, sf_dir: str):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(spark, sf_dir)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(entity_select_sql(SPARK, "__docs_src"))
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html")
@@ -435,7 +441,7 @@ def encoded_pages_df(spark, sf_dir: str):
     single-byte charsets get their ``<meta charset>`` label rewritten,
     utf-16 LE/BE get a BOM.  Byte encoding happens in the Arrow kernel —
     Spark's ``encode()`` only supports unicode charsets."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_docs(spark, sf_dir)
     docs.createOrReplaceTempView("__docs_src")
     df = spark.sql(pages_select_sql(SPARK, "__docs_src"))
 
