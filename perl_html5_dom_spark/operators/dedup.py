@@ -255,6 +255,69 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
+                         max_iter: int = 25) -> DataFrame:
+    """(node, comp): connected components of the near-duplicate pair
+    graph; comp = the smallest node id in the component.  ``nodes``
+    optionally supplies the full id universe so isolated documents get
+    singleton components (comp = own id).
+
+    This is the LAST stage of a production dedup pipeline: pair lists
+    (minhash/simhash/cosine) → duplicate CLUSTERS → one canonical doc
+    per cluster (see ``dedup_keep``).
+
+    Scale shape: min-label propagation with pointer jumping — each
+    round is two equi-joins + a partial-agg min (neighbor minimum, then
+    comp-of-comp), giving O(log n) rounds on chains instead of O(n);
+    near-dup clusters are dense, so in practice 2-3 rounds converge.
+    The per-round convergence check reads ONE driver-side count (the
+    standard control-flow scalar of iterative graph algorithms; GraphX
+    and GraphFrames do the same)."""
+    edges = (pairs.selectExpr("a as u", "b as v")
+             .union(pairs.selectExpr("b as u", "a as v")))
+    edges = _materialize(edges.distinct())
+    labels = edges.selectExpr("u as node").distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.selectExpr(
+            f"{nodes.columns[0]} as node")).distinct()
+    labels = labels.withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        # localCheckpoint truncates the logical plan each round — the
+        # iterated self-referencing joins otherwise grow the plan
+        # exponentially and OOM the DRIVER during analysis (a real
+        # cluster job would use a reliable checkpoint dir instead)
+        labels = labels.localCheckpoint(eager=True)
+        # neighbor minimum
+        nbr = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
+        stepped = (
+            labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
+            .selectExpr("node", "comp",
+                        "least(comp, coalesce(nbr_comp, comp)) as comp1"))
+        # pointer jumping: comp <- comp(comp)
+        ptr = labels.selectExpr("node as comp1", "comp as jumped")
+        new = (stepped.join(ptr, "comp1", "left")
+               .selectExpr("node", "comp",
+                           "least(comp1, coalesce(jumped, comp1)) as new_comp")
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = new.selectExpr("node", "new_comp as comp")
+        if changed == 0:
+            break
+    return labels.selectExpr("node", "comp")
+
+
+def dedup_keep(docs: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, component, keep): canonical-representative selection —
+    keep exactly one doc (the smallest id) per duplicate cluster; the
+    downstream training corpus filters on ``keep``."""
+    comp = connected_components(pairs, nodes=docs.select(id_col))
+    return comp.selectExpr(
+        f"node as {id_col}", "comp as component",
+        "node = comp as keep")
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       bits: int = 32, chunks: int = 4) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) via chunk-join candidates.

@@ -305,6 +305,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_near_dups(_corpus(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clustering + canonical selection: minhash pair graph ->
+    connected components (min-id label) -> keep one doc per cluster.
+    The last stage of a production dedup pipeline."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dd.minhash_near_dups(corpus, threshold=0.5)
+    return dd.dedup_keep(corpus, pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_near_dups(_corpus(spark, sf_dir), max_hamming=3)
 
@@ -582,6 +591,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -959,6 +969,25 @@ ORACLES["lang_id"] = (
 _stop_en = _hit_exprs["en"]
 # mirrors textstats.quality_scores exactly: ratio columns rounded first,
 # composite computed FROM the rounded columns
+# duplicate clustering: recursive min-label closure over the SAME pair
+# list the dedup_minhash_lsh oracle derives; component = min doc_id
+# reachable, keep = (doc is its component's minimum)
+ORACLES["dedup_components"] = (
+    "with recursive pairs as (select a, b from ("
+    + ORACLES["dedup_minhash_lsh"] + ") mp), "
+    f"corpus as ({CORPUS_SQL}), "
+    "edges as (select a as u, b as v from pairs "
+    " union select b as u, a as v from pairs), "
+    "reach(node, lbl) as ("
+    " select doc_id, doc_id from corpus "
+    " union "
+    " select e.u, r.lbl from edges e join reach r on r.node = e.v), "
+    "comp as (select node, min(lbl) as component from reach group by node) "
+    "select cast(node as bigint) as doc_id, "
+    "cast(component as bigint) as component, "
+    "node = component as keep from comp"
+)
+
 ORACLES["quality_scores"] = (
     "with b as (select doc_id, text, length(text) as nc, "
     " len(string_split(text, ' ')) as nt, "

@@ -103,3 +103,29 @@ def test_giant_document_skew_extraction(spark):
     # 200k words -> "word "*200k rtrimmed = 999,999 chars exactly
     assert got["giant"].startswith("word word")
     assert len(got["giant"]) == 200_000 * 5 - 1
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from perl_html5_dom_spark.operators.dedup import (
+        connected_components, dedup_keep)
+
+    # chain 1-2-3-4-5 (worst case for plain propagation: pointer
+    # jumping must converge in O(log n) rounds), triangle 10-11-12,
+    # pair 20-21, singletons 30/31 supplied via the node universe
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21)], "a long, b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30, 31)],
+        "doc_id long")
+    comp = {r.node: r.comp for r in
+            connected_components(pairs, nodes=nodes).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 31}
+
+    keep = {r.doc_id: (r.component, r.keep) for r in
+            dedup_keep(nodes, pairs).collect()}
+    assert keep[1] == (1, True) and keep[5] == (1, False)
+    assert keep[30] == (30, True)
+    # one keep per cluster: chain, triangle, pair + the two singletons
+    assert sum(1 for c, k in keep.values() if k) == 5
