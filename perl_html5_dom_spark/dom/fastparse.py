@@ -9,12 +9,18 @@ directly with a plain element stack and **bails out** — raising
 from the spec machine:
 
   * any tag outside the simple vocabulary (forms, template, select,
-    pre, textarea, frames, SVG/MathML, caption/col/colgroup, ...),
-  * END-tag-driven adoption agency (a mismatched formatting end tag,
-    repeated <a>/<nobr>, Noah's-ark duplicates),
-  * foster-parenting territory (non-whitespace text in table context),
+    pre, textarea, frames, ...),
+  * the adoption agency's inner loop (a furthest block below the
+    formatting element), repeated <a>/<nobr>, Noah's-ark duplicates —
+    the no-furthest-block AAA shortcut IS handled,
+  * foreign-content breakout tags and island-crossing end tags
+    (SVG/MathML islands with integration points ARE handled),
+  * reconstruction at a foster position (plain fostered table text,
+    caption and colgroup ARE handled),
   * anything unusual around the document frame (quirky doctype,
-    text between </head> and <body>, text after </body>).
+    re-entering head after </head>, text after </body>) — implied
+    html/head/body and whitespace between </head> and <body> ARE
+    handled.
 
   Implicit closes crossing open formatting elements are handled
   spec-faithfully: the active-formatting list keeps the entry and the
@@ -350,29 +356,48 @@ class _Fast:
             token = next_token()
         else:
             doc.quirks = True
-        while token[0] == "comment":
-            self._comment(token, parent=doc.root)
+        # "before html": comments -> document, whitespace ignored,
+        # stray end tags (other than head/body/html/br) ignored; any
+        # other token implies <html> and is reprocessed in "before head"
+        while True:
+            if token[0] == "comment":
+                self._comment(token, parent=doc.root)
+            elif token[0] == "char":
+                stripped = token[1].lstrip(_WS)
+                if stripped:
+                    token = ("char", stripped)   # ws before <html> dropped
+                    break
+            elif token[0] == "end" and token[1] not in (
+                    "head", "body", "html", "br"):
+                pass                  # parse error: ignore
+            else:
+                break
             token = next_token()
-        if token[0] == "char":
-            if token[1].lstrip(_WS):
-                raise _Bail          # implied <html> from text
+        if token[0] == "start" and token[1] == "html":
+            html = self._el(token)
             token = next_token()
-        if token[0] != "start" or token[1] != "html":
-            raise _Bail
-        html = self._el(token)
+        else:
+            html = self._el(None, "html")   # implied, position-less
+            # token reprocessed below in "before head"
         doc.append_child(doc.root, html)
         doc.html_node = html
         self.stack.append(html)
         self.tags.append("html")
 
         # ---- before head ----
-        token = next_token()
+        # comments -> html, whitespace ignored (NOT inserted), stray end
+        # tags ignored; anything else implies/opens <head>
         while True:
             if token[0] == "comment":
                 self._comment(token)
             elif token[0] == "char":
-                if token[1].lstrip(_WS):
-                    raise _Bail
+                stripped = token[1].lstrip(_WS)
+                if stripped:
+                    token = ("char", stripped)   # before-head ws dropped
+                    break
+            elif token[0] == "end" and token[1] not in (
+                    "head", "body", "html", "br"):
+                pass                  # parse error: ignore
             else:
                 break
             token = next_token()
@@ -398,9 +423,10 @@ class _Fast:
                 if stripped:
                     lead = ws[: len(ws) - len(stripped)]
                     if lead:
-                        self._text(lead)
-                    # implied </head>; only <body> handled after text
-                    raise _Bail
+                        self._text(lead)   # ws stays in head
+                    self._pop()            # implied </head>
+                    pending = ("char", stripped)
+                    break
                 self._text(ws)
                 continue
             if tt == "comment":
@@ -408,6 +434,8 @@ class _Fast:
                 continue
             if tt == "start":
                 tag = token[1]
+                if tag == "head":
+                    continue          # parse error: ignore
                 if tag in _HEAD_VOID:
                     nid = self._el(token)
                     self._append(nid)
@@ -429,7 +457,9 @@ class _Fast:
                     break
                 continue              # ignored end tag
             if tt == "eof":
-                raise _Bail           # head-only document: rare, slow lane
+                self._pop()           # head-only document: implied body
+                pending = token
+                break
             raise _Bail
 
         # ---- after head ----
@@ -441,12 +471,23 @@ class _Fast:
                 self._comment(token)
                 continue
             if tt == "char":
-                raise _Bail           # ws lands in <html>: rare shape
+                ws = token[1]
+                stripped = ws.lstrip(_WS)
+                lead = ws[: len(ws) - len(stripped)]
+                if lead:
+                    self._text(lead)  # after-head ws: text child of html
+                if stripped:          # non-ws implies <body>
+                    body = self._push(None, "body")
+                    pending = ("char", stripped)
+                    break
+                continue
             if tt == "start" and token[1] == "body":
                 body = self._push(token)
                 break
             if tt == "start" and token[1] in _HEAD_VOID | set(_RAWTEXT_MODES):
                 raise _Bail           # re-enter head: rare
+            if tt == "end" and token[1] not in ("body", "html", "br"):
+                continue              # parse error: ignore
             # implied <body>
             body = self._push(None, "body")
             pending = token

@@ -116,6 +116,14 @@ _HEADS = [
     "</style><script>1<2&&x()</script></head><body>",
     "<html><head></head><body>",
     "<!-- lead --><!DOCTYPE html><html><head></head><body>",
+    # implied-frame shapes (round 3: the fast lane synthesizes
+    # html/head/body and handles ws between </head> and <body>)
+    "",
+    "<!DOCTYPE html>",
+    "<body>",
+    "<head><title>t</title></head> \n",
+    "<!DOCTYPE html><html><head></head>\n  <body>",
+    "</div><!-- stray -->",
 ]
 
 
