@@ -577,6 +577,208 @@ svg title
 |   "d"
 '''
 
+# Round-3 family #3: rawtext/rcdata/plaintext elements, the pre/listing/
+# textarea leading-newline rule, the form element pointer, select
+# machinery, frameset, marquee scope markers, ruby, the <image> alias —
+# expected trees hand-derived from WHATWG 13.2.5 (tokenizer data states),
+# 13.2.6.4.7 ("in body": pre/listing/textarea/form/button/marquee/image)
+# and 13.2.6.4.16 ("in select" / "in select in table").
+DAT3 = r"""
+#data
+<!DOCTYPE html><pre>
+first</pre>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <pre>
+|       "first"
+
+#data
+<!DOCTYPE html><pre>
+
+x</pre>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <pre>
+|       "
+x"
+
+#data
+<!DOCTYPE html><textarea>
+t</textarea>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "t"
+
+#data
+<!DOCTYPE html><listing>
+l</listing>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <listing>
+|       "l"
+
+#data
+<!DOCTYPE html><plaintext>a<b>c
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <plaintext>
+|       "a<b>c"
+
+#data
+<!DOCTYPE html><form><input><form><p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       <input>
+|       <p>
+|         "x"
+
+#data
+<!DOCTYPE html><select><option>a<option>b</select>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+
+#data
+<!DOCTYPE html><p><select><optgroup><option>x</select>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <select>
+|         <optgroup>
+|           <option>
+|             "x"
+
+#data
+<!DOCTYPE html><frameset><frame src=a><noframes>x</noframes></frameset>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <frameset>
+|     <frame>
+|       src="a"
+|     <noframes>
+|       "x"
+
+#data
+<!DOCTYPE html><xmp><b>raw</b></xmp>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <xmp>
+|       "<b>raw</b>"
+
+#data
+<!DOCTYPE html><iframe>a<b>c</iframe>d
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <iframe>
+|       "a<b>c"
+|     "d"
+
+#data
+<!DOCTYPE html><p><image src=x>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <img>
+|         src="x"
+
+#data
+<!DOCTYPE html><button>a<button>b
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "a"
+|     <button>
+|       "b"
+
+#data
+<!DOCTYPE html><marquee><p>m</marquee></p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <marquee>
+|       <p>
+|         "m"
+|     <p>
+|     "x"
+
+#data
+<!DOCTYPE html><ruby><rb>a<rt>b</ruby>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <ruby>
+|       <rb>
+|         "a"
+|       <rt>
+|         "b"
+
+#data
+<!DOCTYPE html><table><tr><td><select><option>o<td>x</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|               <option>
+|                 "o"
+|           <td>
+|             "x"
+"""
+
+
 _FRAG_NS = {"svg": NS_SVG, "math": NS_MATHML}
 
 
@@ -595,7 +797,7 @@ def parse_dat(dat: str):
     return cases
 
 
-CASES = parse_dat(DAT) + parse_dat(DAT2)
+CASES = parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
 
 
 @pytest.mark.parametrize("src,frag_ctx,expected", CASES,
