@@ -535,6 +535,9 @@ class _Fast:
         if tag in ("svg", "math"):
             self._island(token)
             return
+        if tag == "select":
+            self._select(token)
+            return
         if tag not in _OK_BODY_START:
             raise _Bail
         if tag in _BLOCK_START:
@@ -962,6 +965,94 @@ class _Fast:
             if tag not in _BLOCK_START and t in _SPECIAL:
                 return                # ignore token
         return                        # not found: ignore
+
+    # -- select (WHATWG "in select" / "in select in table") -------------
+
+    _TABLE_PARTS = frozenset(
+        ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th"))
+
+    def _close_select(self, sel_idx: int) -> None:
+        # select/option/optgroup are never formatting elements, so a
+        # plain truncation reproduces "pop until select popped"
+        del self.stack[sel_idx:]
+        del self.tags[sel_idx:]
+
+    def _select(self, token) -> None:
+        """Consume an "in select" subtree.  In-body select start
+        reconstructs formatting first; inside, only option/optgroup
+        nest, unknown tags are ignored, input/keygen/textarea close the
+        select and reprocess, and (when inside a table) table-part tags
+        would reshuffle — those bail."""
+        if self.open_fmt:
+            self._reconstruct()
+        sel_idx = len(self.stack)
+        self._push(token)             # select
+        in_table = "table" in self.tags
+        next_token = self.tok.next_token
+        tags = self.tags
+        while True:
+            token = next_token()
+            tt = token[0]
+            if tt == "char":
+                self._text(token[1].replace("\x00", ""))
+                continue
+            if tt == "comment":
+                self._comment(token)
+                continue
+            if tt == "start":
+                tag = token[1]
+                if tag == "option":
+                    if tags[-1] == "option":
+                        self.stack.pop()
+                        tags.pop()
+                    self._push(token)
+                    continue
+                if tag == "optgroup":
+                    if tags[-1] == "option":
+                        self.stack.pop()
+                        tags.pop()
+                    if tags[-1] == "optgroup":
+                        self.stack.pop()
+                        tags.pop()
+                    self._push(token)
+                    continue
+                if tag == "select":   # parse error: acts as </select>
+                    self._close_select(sel_idx)
+                    return
+                if tag in ("input", "keygen", "textarea"):
+                    self._close_select(sel_idx)
+                    self._body_start(token)   # reprocess
+                    return
+                if tag in ("script", "template"):
+                    raise _Bail       # head rules inside select
+                if in_table and tag in self._TABLE_PARTS:
+                    raise _Bail       # in-select-in-table reshuffle
+                continue              # any other start tag: ignore
+            if tt == "end":
+                tag = token[1]
+                if tag == "optgroup":
+                    if tags[-1] == "option" and len(tags) >= 2 \
+                            and tags[-2] == "optgroup":
+                        self.stack.pop()
+                        tags.pop()
+                    if tags[-1] == "optgroup":
+                        self.stack.pop()
+                        tags.pop()
+                    continue
+                if tag == "option":
+                    if tags[-1] == "option":
+                        self.stack.pop()
+                        tags.pop()
+                    continue
+                if tag == "select":
+                    self._close_select(sel_idx)
+                    return
+                if in_table and tag in self._TABLE_PARTS:
+                    raise _Bail
+                continue              # any other end tag: ignore
+            if tt == "eof":
+                return                # leave open; caller sees eof next
+            raise _Bail               # doctype inside select
 
     # -- foreign-content islands (WHATWG 13.2.6.5, the common subset) ----
     #

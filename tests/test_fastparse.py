@@ -101,7 +101,7 @@ def test_differential_corpus():
 
 _tags = st.sampled_from(
     "div p span ul li b i a h1 h2 br table td form pre em strong section "
-    "dd dt dl hr img footer blockquote "
+    "dd dt dl hr img footer blockquote select option optgroup input "
     # full FORMATTING_TAGS set — the adoption-agency corner the fast lane
     # must bail on (a round-1 nobr divergence hid here)
     "nobr small big tt u s strike font code "
@@ -194,6 +194,27 @@ def table_soup(draw):
 @settings(max_examples=500, deadline=None)
 @given(table_soup())
 def test_differential_fuzz_tables(src):
+    assert_equal_trees(src)
+
+
+_select_tags = st.sampled_from(
+    "select option optgroup input p div b table td tr".split())
+
+
+@st.composite
+def select_soup(draw):
+    """Select-heavy generator targeting the in-select sub-parser and its
+    bail boundaries (input reprocess, select-in-table reshuffle)."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 14))):
+        t = draw(_select_tags)
+        parts.append(draw(st.sampled_from([f"<{t}>", f"</{t}>", "x", " "])))
+    return "".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(select_soup())
+def test_differential_fuzz_select(src):
     assert_equal_trees(src)
 
 
