@@ -78,7 +78,8 @@ _PHRASING = frozenset(
     """span abbr cite dfn kbd mark q sub sup time var bdi bdo data del
     ins samp output label wbr""".split()
 )
-_BODY_VOID = frozenset(("br", "img", "wbr", "area", "embed", "keygen", "hr"))
+_BODY_VOID = frozenset(
+    ("br", "img", "wbr", "area", "embed", "keygen", "hr", "input"))
 _LIST_ITEM = frozenset(("li",))
 _DD_DT = frozenset(("dd", "dt"))
 _IMPLIED = frozenset(("dd", "dt", "li", "p"))
@@ -93,7 +94,7 @@ _OK_BODY_START = (
 _LI_STOP = frozenset(
     (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
      | frozenset(_RAWTEXT_MODES) | _HEAD_VOID
-     | frozenset(("table", "td", "th")))
+     | frozenset(("table", "td", "th", "pre", "listing", "form")))
     - {"address", "div", "p"}
 )
 
@@ -107,11 +108,14 @@ _TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
 _CELL_CLOSERS = frozenset(
     ("td", "th", "tr", "caption", "col", "colgroup")) | _TABLE_SECTIONS
 
-#: "special" elements of the fast vocabulary (any-other-end-tag rule)
+#: "special" elements of the fast vocabulary (any-other-end-tag rule;
+#: also the AAA furthest-block test) — pre/listing/form/select are spec
+#: "special" and parsed by the fast lane, so they MUST appear here
 _SPECIAL = (
     _BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
     | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
-    | frozenset(("html", "head", "body"))
+    | frozenset(("html", "head", "body", "pre", "listing", "form", "select",
+                 "button"))
 )
 
 
@@ -124,7 +128,8 @@ _MARKER = ("MARKER",)
 
 
 class _Fast:
-    __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase", "_L")
+    __slots__ = ("doc", "tok", "stack", "tags", "open_fmt", "phase", "_L",
+                 "form")
 
     def __init__(self, src: str) -> None:
         self.doc = Document()
@@ -135,6 +140,7 @@ class _Fast:
         #: (insertion order) plus _MARKER sentinels at cell boundaries —
         #: the fast-lane twin of the full machine's afe
         self.open_fmt: list = []
+        self.form: int | None = None   # the form element pointer
         d = self.doc
         # cached struct-of-array refs: node allocation is the fast lane's
         # hottest call — append inline, no Document method hops
@@ -538,6 +544,65 @@ class _Fast:
         if tag == "select":
             self._select(token)
             return
+        if tag == "form":
+            # in-body form: ignored while the form pointer is set
+            if self.form is not None:
+                return
+            self._close_p()
+            self.form = self._push(token)
+            return
+        if tag == "button":
+            # close an open button in scope, then reconstruct + insert
+            for t in reversed(self.tags):
+                if t == "button":
+                    while self.tags[-1] in _IMPLIED:
+                        self._pop_implicit()
+                    self._pop_until("button")
+                    break
+                if t in _SCOPE_STOP:
+                    break
+            if self.open_fmt:
+                self._reconstruct()
+            self._push(token)
+            return
+        if tag == "textarea":
+            # rcdata content, single leading U+000A skipped
+            self._push(token)
+            self.tok.set_rawtext("textarea", "rcdata")
+            t = self.tok.next_token()
+            if t[0] == "char":
+                txt = t[1][1:] if t[1].startswith("\n") else t[1]
+                self._text(txt)
+                t = self.tok.next_token()
+            if t[0] not in ("end", "eof"):
+                raise _Bail
+            self.stack.pop()
+            self.tags.pop()
+            return
+        if tag in ("pre", "listing"):
+            self._close_p()
+            self._push(token)
+            # spec: skip a single U+000A right after <pre>/<listing>
+            t = self.tok.next_token()
+            if t[0] == "char":
+                txt = t[1]
+                if txt.startswith("\n"):
+                    txt = txt[1:]
+                if txt:
+                    if self.open_fmt:
+                        self._reconstruct()
+                    self._text(txt)
+                return
+            if t[0] == "comment":
+                self._comment(t)
+                return
+            if t[0] == "start":
+                self._body_start(t)
+                return
+            if t[0] == "end" and t[1] not in ("body", "html"):
+                self._body_end(t[1])
+                return
+            raise _Bail               # eof / </body> right after <pre>
         if tag not in _OK_BODY_START:
             raise _Bail
         if tag in _BLOCK_START:
@@ -878,6 +943,23 @@ class _Fast:
 
     def _body_end(self, tag: str) -> None:
         tags = self.tags
+        if tag == "form":
+            # spec: take the form pointer, null it; ignore if unset or
+            # not in scope; implied end tags, then REMOVE that node from
+            # the stack wherever it is (the tree keeps its children)
+            node = self.form
+            self.form = None
+            if node is None or node not in self.stack:
+                return
+            i = self.stack.index(node)
+            for t in tags[i + 1:]:
+                if t in _SCOPE_STOP:
+                    return            # form not in scope: ignore
+            while tags[-1] in _IMPLIED:
+                self._pop_implicit()
+            del self.stack[i]
+            del tags[i]
+            return
         if tag == "br":
             # spec: </br> acts as a <br> START tag (position-less
             # synthetic token), which reconstructs active formatting
@@ -952,7 +1034,12 @@ class _Fast:
                 return
             # not in the AFE tail at all: "any other end tag" rules —
             # fall through to the generic walk below
-        # blocks and any-other end tags share the walk-down rule
+        # blocks and any-other end tags share the walk-down rule; the
+        # spec's block-closing end-tag list also includes button/pre/
+        # listing (not in _BLOCK_START), which close across non-special
+        # content like blocks do
+        block_close = tag in _BLOCK_START or tag in (
+            "button", "pre", "listing")
         for t in reversed(tags):
             if t == tag:
                 # generate implied end tags, then pop until target
@@ -962,7 +1049,7 @@ class _Fast:
                 return
             if t in ("table", "td", "th"):
                 return                # scope boundary (also special)
-            if tag not in _BLOCK_START and t in _SPECIAL:
+            if not block_close and t in _SPECIAL:
                 return                # ignore token
         return                        # not found: ignore
 

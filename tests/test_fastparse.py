@@ -197,6 +197,28 @@ def test_differential_fuzz_tables(src):
     assert_equal_trees(src)
 
 
+_forms_tags = st.sampled_from(
+    "form input button textarea select option pre listing p div b li ul".split())
+
+
+@st.composite
+def forms_soup(draw):
+    """Forms/pre generator: form pointer, button implied closes,
+    textarea rcdata, pre leading-newline, select interplay."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 14))):
+        t = draw(_forms_tags)
+        parts.append(draw(st.sampled_from(
+            [f"<{t}>", f"</{t}>", "x", " ", "\n"])))
+    return "".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(forms_soup())
+def test_differential_fuzz_forms(src):
+    assert_equal_trees(src)
+
+
 _select_tags = st.sampled_from(
     "select option optgroup input p div b table td tr".split())
 
