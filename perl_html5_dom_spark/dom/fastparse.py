@@ -102,6 +102,8 @@ _LI_STOP = frozenset(
 #: (WHATWG scope list: html, table, td, th, + others we bail on) — walks
 #: for p/heading/block end tags must not cross these
 _SCOPE_STOP = frozenset(("html", "table", "td", "th"))
+#: "button scope" adds button (the </p> / close-a-p boundary set)
+_P_SCOPE_STOP = _SCOPE_STOP | frozenset(("button",))
 _TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
 #: start tags that close an open cell ("in cell" spec list; table is NOT
 #: among them — a nested <table> stays inside the cell)
@@ -318,12 +320,13 @@ class _Fast:
 
     def _close_p(self) -> None:
         # "close a p element in BUTTON scope": the walk stops at scope
-        # boundaries (a p outside an enclosing table cell stays open)
+        # boundaries (a p outside an enclosing table cell or button
+        # stays open)
         for t in reversed(self.tags):
             if t == "p":
                 self._pop_until("p")
                 return
-            if t in _SCOPE_STOP:
+            if t in _P_SCOPE_STOP:
                 return
 
     def _rawtext(self, token) -> None:
@@ -974,9 +977,12 @@ class _Fast:
                 if t == "p":
                     self._pop_until("p")
                     return
-                if t in _SCOPE_STOP:
+                if t in _P_SCOPE_STOP:
                     break             # p not in button scope
-            raise _Bail               # spec synthesizes an empty <p>
+            # spec: parse error; insert an empty p element, close it
+            nid = self._el(None, "p")
+            self._append(nid)
+            return
         if tag == "li" or tag in _DD_DT:
             for t in reversed(tags):
                 if t == tag:
