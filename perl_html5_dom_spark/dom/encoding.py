@@ -78,8 +78,19 @@ _LABELS = {
     "windows-1254": "WINDOWS-1254", "windows-1255": "WINDOWS-1255",
     "windows-1256": "WINDOWS-1256", "windows-1257": "WINDOWS-1257",
     "windows-1258": "WINDOWS-1258",
-    "iso-8859-2": "ISO-8859-2", "iso-8859-7": "ISO-8859-7",
-    "iso-8859-15": "ISO-8859-15",
+    "iso-8859-2": "ISO-8859-2", "latin2": "ISO-8859-2",
+    "iso-8859-3": "ISO-8859-3", "latin3": "ISO-8859-3",
+    "iso-8859-4": "ISO-8859-4", "latin4": "ISO-8859-4",
+    "iso-8859-6": "ISO-8859-6", "arabic": "ISO-8859-6",
+    "iso-8859-7": "ISO-8859-7", "greek": "ISO-8859-7",
+    "iso-8859-8": "ISO-8859-8", "hebrew": "ISO-8859-8",
+    "iso-8859-10": "ISO-8859-10", "iso-8859-13": "ISO-8859-13",
+    "iso-8859-14": "ISO-8859-14", "iso-8859-15": "ISO-8859-15",
+    "l9": "ISO-8859-15", "latin9": "ISO-8859-15",
+    "iso-8859-16": "ISO-8859-16",
+    # WHATWG folds iso-8859-9 (latin5) into windows-1254
+    "iso-8859-9": "WINDOWS-1254", "latin5": "WINDOWS-1254",
+    "l5": "WINDOWS-1254",
     "gbk": "GBK", "gb2312": "GBK", "gb18030": "GB18030",
     "big5": "BIG5", "shift_jis": "SHIFT_JIS", "shift-jis": "SHIFT_JIS",
     "sjis": "SHIFT_JIS", "euc-jp": "EUC-JP", "euc-kr": "EUC-KR",

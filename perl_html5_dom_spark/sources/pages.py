@@ -432,6 +432,16 @@ ENCODING_VARIANTS = [
     ("ISO-8859-5", "iso-8859-5", "iso8859-5"),
     ("ISO-8859-7", "iso-8859-7", "iso8859-7"),
     ("ISO-8859-15", "iso-8859-15", "iso8859-15"),
+    ("WINDOWS-1255", "windows-1255", "cp1255"),
+    ("WINDOWS-1256", "windows-1256", "cp1256"),
+    ("WINDOWS-1257", "windows-1257", "cp1257"),
+    ("WINDOWS-1258", "windows-1258", "cp1258"),
+    ("IBM866", "ibm866", "cp866"),
+    ("X-MAC-CYRILLIC", "x-mac-cyrillic", "mac-cyrillic"),
+    ("ISO-8859-3", "iso-8859-3", "iso8859-3"),
+    ("ISO-8859-4", "iso-8859-4", "iso8859-4"),
+    ("ISO-8859-6", "iso-8859-6", "iso8859-6"),
+    ("ISO-8859-8", "iso-8859-8", "iso8859-8"),
 ]
 
 
