@@ -76,7 +76,7 @@ _RAWTEXT_MODES = {
 #: body start tags the fast lane accepts, by treatment
 _PHRASING = frozenset(
     """span abbr cite dfn kbd mark q sub sup time var bdi bdo data del
-    ins samp output label wbr""".split()
+    ins samp output label wbr menuitem""".split()
 )
 _BODY_VOID = frozenset(
     ("br", "img", "wbr", "area", "embed", "keygen", "hr", "input"))
@@ -94,14 +94,15 @@ _OK_BODY_START = (
 _LI_STOP = frozenset(
     (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
      | frozenset(_RAWTEXT_MODES) | _HEAD_VOID
-     | frozenset(("table", "td", "th", "pre", "listing", "form")))
+     | frozenset(("table", "td", "th", "pre", "listing", "form",
+                  "template")))
     - {"address", "div", "p"}
 )
 
 #: "has an element in scope" boundaries present in the fast vocabulary
 #: (WHATWG scope list: html, table, td, th, + others we bail on) — walks
 #: for p/heading/block end tags must not cross these
-_SCOPE_STOP = frozenset(("html", "table", "td", "th"))
+_SCOPE_STOP = frozenset(("html", "table", "td", "th", "template"))
 #: "button scope" adds button (the </p> / close-a-p boundary set)
 _P_SCOPE_STOP = _SCOPE_STOP | frozenset(("button",))
 _TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
@@ -117,7 +118,7 @@ _SPECIAL = (
     _BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
     | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
     | frozenset(("html", "head", "body", "pre", "listing", "form", "select",
-                 "button"))
+                 "button", "template"))
 )
 
 
@@ -445,6 +446,9 @@ class _Fast:
                 tag = token[1]
                 if tag == "head":
                     continue          # parse error: ignore
+                if tag == "template":
+                    self._template(token)
+                    continue
                 if tag in _HEAD_VOID:
                     nid = self._el(token)
                     self._append(nid)
@@ -493,8 +497,9 @@ class _Fast:
             if tt == "start" and token[1] == "body":
                 body = self._push(token)
                 break
-            if tt == "start" and token[1] in _HEAD_VOID | set(_RAWTEXT_MODES):
-                raise _Bail           # re-enter head: rare
+            if tt == "start" and token[1] in (
+                    _HEAD_VOID | set(_RAWTEXT_MODES) | {"template"}):
+                raise _Bail           # re-enter head / html-child template
             if tt == "end" and token[1] not in ("body", "html", "br"):
                 continue              # parse error: ignore
             # implied <body>
@@ -546,6 +551,9 @@ class _Fast:
             return
         if tag == "select":
             self._select(token)
+            return
+        if tag == "template":
+            self._template(token)
             return
         if tag == "form":
             # in-body form: ignored while the form pointer is set
@@ -776,6 +784,15 @@ class _Fast:
                     self._push(token)
                     pending = self._caption(next_token)
                     continue
+                if tag == "select":
+                    # in-table anything-else: in-body rules with foster
+                    # parenting -> select lands before the table, mode
+                    # "in select in table"
+                    if self.open_fmt:
+                        raise _Bail   # reconstruction at foster position
+                    pending = self._select(token,
+                                           foster_table_nid=table_nid)
+                    continue
                 if tag in ("col", "colgroup"):
                     if cur != "table":
                         raise _Bail   # col after tbody/tr: rare reshuffle
@@ -894,6 +911,51 @@ class _Fast:
                 self._body_end(tag)
                 continue
             raise _Bail               # eof inside a caption
+
+    def _template(self, token) -> None:
+        """Restricted "in template" content: an AFE-markered mini-body
+        (the arena stores template children directly, like MyHTML — the
+        html5lib "content" line is synthesized by treedump).  Table-part
+        tokens at template top level and anything outside the body
+        vocabulary bail via the shared handlers; </template> and EOF
+        close with the cell/caption truncation (thorough implied end
+        tags + pop to template + clear the AFE to the marker)."""
+        next_token = self.tok.next_token
+        self._push(token)
+        self.open_fmt.append(_MARKER)
+        tpl_idx = len(self.stack) - 1
+        # mode tracking: the "in template" mode IGNORES end tags; it
+        # flips to in-body on the first ordinary start tag (head-ish
+        # tags — meta/link/rawtext/nested template — use in-head rules
+        # and leave the mode alone, as do character tokens)
+        in_body = False
+        while True:
+            t = next_token()
+            tt = t[0]
+            if tt == "char":
+                if self.open_fmt:
+                    self._reconstruct()
+                self._text(t[1])
+                continue
+            if tt == "comment":
+                self._comment(t)
+                continue
+            if tt == "start":
+                tag = t[1]
+                if tag not in _HEAD_VOID and tag not in _RAWTEXT_MODES                         and tag != "template":
+                    in_body = True
+                self._body_start(t)   # includes nested <template>
+                continue
+            if tt == "end":
+                if t[1] == "template":
+                    self._close_cell(tpl_idx)
+                    return
+                if in_body:
+                    self._body_end(t[1])
+                continue              # in-template end tags are ignored
+            # eof: spec closes the template and reprocesses eof
+            self._close_cell(tpl_idx)
+            return
 
     def _colgroup(self, next_token):
         """Consume "in column group" content; returns a token to
@@ -1070,16 +1132,27 @@ class _Fast:
         del self.stack[sel_idx:]
         del self.tags[sel_idx:]
 
-    def _select(self, token) -> None:
-        """Consume an "in select" subtree.  In-body select start
+    def _select(self, token, foster_table_nid: int | None = None):
+        """Consume an "in select" subtree; returns a token to reprocess
+        at table level (fostered case) or None.  In-body select start
         reconstructs formatting first; inside, only option/optgroup
         nest, unknown tags are ignored, input/keygen/textarea close the
-        select and reprocess, and (when inside a table) table-part tags
-        would reshuffle — those bail."""
+        select and reprocess.  When the select was foster-parented out
+        of a table (in-select-in-table), table-part tags close it and
+        are handed back to the table loop; a select inside a CELL still
+        bails on those (no reprocess channel through _body_start)."""
         if self.open_fmt:
             self._reconstruct()
         sel_idx = len(self.stack)
-        self._push(token)             # select
+        if foster_table_nid is not None:
+            # foster parenting: the element lands before the table but
+            # still goes on the open-elements stack
+            nid = self._el(token)
+            self.doc.insert_before(foster_table_nid, nid)
+            self.stack.append(nid)
+            self.tags.append("select")
+        else:
+            self._push(token)         # select
         in_table = "table" in self.tags
         next_token = self.tok.next_token
         tags = self.tags
@@ -1111,15 +1184,20 @@ class _Fast:
                     continue
                 if tag == "select":   # parse error: acts as </select>
                     self._close_select(sel_idx)
-                    return
+                    return None
                 if tag in ("input", "keygen", "textarea"):
                     self._close_select(sel_idx)
+                    if foster_table_nid is not None:
+                        raise _Bail   # fostered reprocess: slow lane
                     self._body_start(token)   # reprocess
-                    return
+                    return None
                 if tag in ("script", "template"):
                     raise _Bail       # head rules inside select
                 if in_table and tag in self._TABLE_PARTS:
-                    raise _Bail       # in-select-in-table reshuffle
+                    if foster_table_nid is not None:
+                        self._close_select(sel_idx)
+                        return token  # reprocess at table level
+                    raise _Bail       # select inside a cell: slow lane
                 continue              # any other start tag: ignore
             if tt == "end":
                 tag = token[1]
@@ -1139,12 +1217,15 @@ class _Fast:
                     continue
                 if tag == "select":
                     self._close_select(sel_idx)
-                    return
+                    return None
                 if in_table and tag in self._TABLE_PARTS:
+                    if foster_table_nid is not None:
+                        self._close_select(sel_idx)
+                        return token
                     raise _Bail
                 continue              # any other end tag: ignore
             if tt == "eof":
-                return                # leave open; caller sees eof next
+                return None           # leave open; caller sees eof next
             raise _Bail               # doctype inside select
 
     # -- foreign-content islands (WHATWG 13.2.6.5, the common subset) ----

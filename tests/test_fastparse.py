@@ -102,6 +102,7 @@ def test_differential_corpus():
 _tags = st.sampled_from(
     "div p span ul li b i a h1 h2 br table td form pre em strong section "
     "dd dt dl hr img footer blockquote select option optgroup input "
+    "template menuitem button textarea "
     # full FORMATTING_TAGS set — the adoption-agency corner the fast lane
     # must bail on (a round-1 nobr divergence hid here)
     "nobr small big tt u s strike font code "
@@ -220,7 +221,7 @@ def test_differential_fuzz_forms(src):
 
 
 _select_tags = st.sampled_from(
-    "select option optgroup input p div b table td tr".split())
+    "select option optgroup input p div b table td tr caption template".split())
 
 
 @st.composite
