@@ -94,10 +94,17 @@ def main() -> None:
     # q1c: adversarial pages (adoption agency, fostered table text,
     # foreign content) — since the round-3 fast-lane widening these run
     # in the fast lane end-to-end; the differential fuzz guards parity
-    from perl_html5_dom_spark.sources.pages import hostile_pages_df
+    from perl_html5_dom_spark.sources.pages import (
+        hostile2_pages_df, hostile_pages_df)
     hostile = hostile_pages_df(spark, sf_dir)
     bench("extract_hostile", lambda: extract_pages(
         hostile, span_selector=None, fields=["url", "inner_text"])
+        .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
+    # q1d: hostile family #2 (template / caption / fostered select /
+    # integration points) — fast lane end-to-end since round 3
+    hostile2 = hostile2_pages_df(spark, sf_dir)
+    bench("extract_hostile2", lambda: extract_pages(
+        hostile2, span_selector=None, fields=["url", "inner_text"])
         .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
