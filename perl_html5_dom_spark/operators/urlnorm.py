@@ -1,0 +1,133 @@
+"""URL canonicalization for crawl-scale dedup.
+
+A crawl sees the same document under many url spellings: mixed-case
+scheme/host, default ports, fragments, tracking parameters, trailing
+``?``/``&`` litter.  Canonicalizing BEFORE url-keyed dedup/partitioning
+is the standard first stage of a web pipeline (the reference operates on
+per-document trees and leaves url handling to the caller; this is part
+of the beyond-the-reference training-data surface, like dedup/ANN).
+
+Everything is JVM-side ``regexp_replace``/``lower`` column expressions —
+no Python in the hot path — emitted by the same two-dialect builder
+pattern as sources/pages.py so the DuckDB oracle applies the IDENTICAL
+transformation text (only the replacement-group syntax differs: Spark
+uses ``$1``, DuckDB uses ``\\1``).
+
+Normalization steps (order matters):
+
+1. strip the fragment (``#...``),
+2. lowercase the scheme://host prefix (path/query case is significant),
+3. drop default ports (``:80`` for http, ``:443`` for https),
+4. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``), then tidy separator litter (``?&`` -> ``?``, ``&&`` ->
+   ``&``, trailing ``?``/``&``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SPARK = "spark"
+DUCK = "duck"
+
+#: (pattern, spark replacement, duck replacement) applied in order.
+#: Patterns must be RE2-compatible (DuckDB): no lookarounds; Spark
+#: SQL string literals eat single backslashes, so patterns are
+#: backslash-doubled for that dialect at build time.
+_STEPS: list[tuple[str, str, str]] = [
+    # 1. fragment
+    (r"#.*$", "", ""),
+    # 3. default ports (before host-lowercasing is fine: digits only)
+    (r"^(https?://[^/:?#]+):(?:80|443)([/?#]|$)", "$1$2", r"\1\2"),
+    # 4a. '&'-separated tracking params (2nd and later) drop cleanly
+    (r"&(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*", "", ""),
+    # 4b. a tracking param right after '?' followed by another param:
+    # the '?' survives, the param and ITS '&' go
+    (r"\?(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*&", "?", "?"),
+    # 4c. a lone tracking param after '?': the whole query goes
+    (r"\?(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&#]*$", "", ""),
+    # 4d. trailing separator litter
+    (r"[?&]+$", "", ""),
+]
+
+#: host prefix for the lowercase step
+_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def normalize_url_expr(dialect: str, col: str = "url") -> str:
+    """SQL expression canonicalizing ``col`` (identical semantics in
+    Spark SQL and DuckDB)."""
+    e = col
+    # steps that precede host-lowercasing: fragment strip only (the
+    # port strip pattern is case-sensitive on the scheme, so lowercase
+    # the prefix first, then strip ports/params)
+    def _p(pat: str) -> str:
+        # Spark SQL single-quoted literals process backslash escapes
+        return pat.replace("\\", "\\\\") if dialect == SPARK else pat
+
+    pat, srep, drep = _STEPS[0]
+    e = f"regexp_replace({e}, '{_p(pat)}', '')"
+    # 2. lowercase the scheme://host prefix: concat(lower(prefix), rest)
+    if dialect == SPARK:
+        e = (f"concat(lower(regexp_extract({e}, '{_HOST_RE}', 1)), "
+             f"regexp_replace({e}, '{_HOST_RE}', ''))")
+    else:
+        e = (f"lower(coalesce(regexp_extract({e}, '{_HOST_RE}', 1), '')) || "
+             f"regexp_replace({e}, '{_HOST_RE}', '')")
+    for pat, srep, drep in _STEPS[1:]:
+        rep = srep if dialect == SPARK else drep
+        e = f"regexp_replace({e}, '{_p(pat)}', '{rep}')"
+    return e
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url",
+                   out_col: str = "canonical_url") -> DataFrame:
+    """Adds ``canonical_url`` (pure JVM column expressions)."""
+    return df.withColumn(out_col, F.expr(normalize_url_expr(SPARK, url_col)))
+
+
+def dedup_by_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants, first_url): url-duplicate groups —
+    one shuffle on the canonical key; at 100 TB this is the url-hash
+    partitioning key for everything downstream."""
+    return (
+        normalize_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("bigint").alias("n_variants"),
+             F.min(url_col).alias("first_url"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic messy-url relation for the correctness oracle: each doc
+# yields 4 spellings (v = variant id); the expected canonical form is
+# pure arithmetic over (doc_id, v) — independent of the normalizer.
+# ---------------------------------------------------------------------------
+
+def messy_urls_sql(dialect: str, docs_rel: str) -> str:
+    n = f"cast(doc_id as {'string' if dialect == SPARK else 'varchar'})"
+    if dialect == SPARK:
+        vs = f"select doc_id, explode(sequence(0, 3)) as v from {docs_rel}"
+    else:
+        vs = (f"select doc_id, unnest(generate_series(0, 3)) as v "
+              f"from {docs_rel}")
+    return (
+        f"select doc_id, v, case v "
+        f"when 0 then 'https://example.org/doc/' || {n} "
+        f"when 1 then 'HTTPS://EXAMPLE.ORG/doc/' || {n} || '#frag' "
+        f"when 2 then 'https://example.org:443/doc/' || {n} "
+        f"  || '?utm_source=x&utm_campaign=y' "
+        f"else 'https://example.org/doc/' || {n} || '?id=' || {n} "
+        f"  || '&fbclid=abc' end as url "
+        f"from ({vs})"
+    )
+
+
+def expected_canonical_expr(dialect: str) -> str:
+    """Arithmetic expected value (NOT derived from the normalizer)."""
+    n = f"cast(doc_id as {'string' if dialect == SPARK else 'varchar'})"
+    return (
+        f"case when v = 3 then 'https://example.org/doc/' || {n} "
+        f"|| '?id=' || {n} "
+        f"else 'https://example.org/doc/' || {n} end"
+    )

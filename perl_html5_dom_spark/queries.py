@@ -24,6 +24,7 @@ from .operators import nodes as nd
 from .operators import selector_ops as so
 from .operators import similarity as sim
 from .operators import textstats as ts
+from .operators import urlnorm as un
 from .sources import pages as pg
 
 # ---------------------------------------------------------------------------
@@ -303,6 +304,23 @@ def q_dedup_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_near_dups(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Crawl url canonicalization: case/port/fragment/tracking-param
+    normalization as pure JVM column expressions."""
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(un.messy_urls_sql(un.SPARK, "__docs_src"))
+    return un.normalize_urls(df).select("doc_id", "v", "canonical_url")
+
+
+def q_url_dedup(spark, sf_dir):
+    """url-duplicate grouping on the canonical key (one shuffle)."""
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(un.messy_urls_sql(un.SPARK, "__docs_src"))
+    return un.dedup_by_url(df)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -592,6 +610,8 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
     "dedup_simhash": q_dedup_simhash,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -969,6 +989,22 @@ ORACLES["lang_id"] = (
 _stop_en = _hit_exprs["en"]
 # mirrors textstats.quality_scores exactly: ratio columns rounded first,
 # composite computed FROM the rounded columns
+ORACLES["url_canonicalize"] = (
+    "with m as (" + un.messy_urls_sql(un.DUCK, "documents") + ") "
+    "select doc_id, cast(v as bigint) as v, "
+    + un.expected_canonical_expr(un.DUCK) + " as canonical_url from m"
+)
+
+# url-dup groups: variants 0-2 collapse (min spelling is the UPPERCASE
+# v1 form: 'H' < 'h'); variant 3 keeps its ?id param
+ORACLES["url_dedup"] = (
+    "with m as (" + un.messy_urls_sql(un.DUCK, "documents") + "), "
+    "g as (select doc_id, " + un.expected_canonical_expr(un.DUCK) + " as c, "
+    " min(url) as first_url, count(*) as n from m group by 1, 2) "
+    "select c as canonical_url, cast(n as bigint) as n_variants, "
+    "first_url from g"
+)
+
 # duplicate clustering: recursive min-label closure over the SAME pair
 # list the dedup_minhash_lsh oracle derives; component = min doc_id
 # reachable, keep = (doc is its component's minimum)

@@ -1,0 +1,26 @@
+"""URL canonicalization unit tests (operators/urlnorm.py)."""
+
+from perl_html5_dom_spark.operators import urlnorm as un
+
+
+def canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return un.normalize_urls(df).collect()[0].canonical_url
+
+
+def test_url_canonicalization(spark):
+    cases = {
+        "https://example.org/doc/1": "https://example.org/doc/1",
+        "HTTPS://EXAMPLE.ORG/Path/Q#frag": "https://example.org/Path/Q",
+        "https://example.org:443/a": "https://example.org/a",
+        "http://example.org:80/a?x=1": "http://example.org/a?x=1",
+        "http://example.org:8080/a": "http://example.org:8080/a",
+        "https://e.org/p?utm_source=a&id=2&utm_medium=b":
+            "https://e.org/p?id=2",
+        "https://e.org/p?fbclid=xyz": "https://e.org/p",
+        "https://e.org/p?gclid=1&msclkid=2&keep=3": "https://e.org/p?keep=3",
+        "https://e.org/p?utm_x=1#f": "https://e.org/p",
+        "ftp://Example.Org/File": "ftp://example.org/File",
+    }
+    for url, want in cases.items():
+        assert canon(spark, url) == want, url
