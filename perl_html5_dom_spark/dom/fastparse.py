@@ -95,14 +95,15 @@ _LI_STOP = frozenset(
     (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
      | frozenset(_RAWTEXT_MODES) | _HEAD_VOID
      | frozenset(("table", "td", "th", "pre", "listing", "form",
-                  "template")))
+                  "template", "marquee", "object", "applet")))
     - {"address", "div", "p"}
 )
 
 #: "has an element in scope" boundaries present in the fast vocabulary
 #: (WHATWG scope list: html, table, td, th, + others we bail on) — walks
 #: for p/heading/block end tags must not cross these
-_SCOPE_STOP = frozenset(("html", "table", "td", "th", "template"))
+_SCOPE_STOP = frozenset(("html", "table", "td", "th", "template",
+                         "marquee", "object", "applet"))
 #: "button scope" adds button (the </p> / close-a-p boundary set)
 _P_SCOPE_STOP = _SCOPE_STOP | frozenset(("button",))
 _TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
@@ -118,7 +119,7 @@ _SPECIAL = (
     _BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
     | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
     | frozenset(("html", "head", "body", "pre", "listing", "form", "select",
-                 "button", "template"))
+                 "button", "template", "marquee", "object", "applet"))
 )
 
 
@@ -555,6 +556,14 @@ class _Fast:
         if tag == "template":
             self._template(token)
             return
+        if tag in ("marquee", "object", "applet"):
+            # in-body: reconstruct, insert, push an AFE marker — the
+            # marker makes the element an AAA/reconstruction boundary
+            if self.open_fmt:
+                self._reconstruct()
+            self._push(token)
+            self.open_fmt.append(_MARKER)
+            return
         if tag == "form":
             # in-body form: ignored while the form pointer is set
             if self.form is not None:
@@ -868,6 +877,8 @@ class _Fast:
                     return token
                 if tag in ("body", "html"):
                     raise _Bail
+                if tag == "template" and "template" in self.tags:
+                    raise _Bail       # _end_template pops the cell too
                 self._body_end(tag)
                 continue
             raise _Bail               # eof inside a cell
@@ -908,6 +919,8 @@ class _Fast:
                     continue          # parse error: ignore
                 if tag in ("body", "html"):
                     raise _Bail
+                if tag == "template" and "template" in self.tags:
+                    raise _Bail       # _end_template pops the caption too
                 self._body_end(tag)
                 continue
             raise _Bail               # eof inside a caption
@@ -1025,6 +1038,22 @@ class _Fast:
             del self.stack[i]
             del tags[i]
             return
+        if tag in ("marquee", "object", "applet"):
+            # in scope? implied end tags, pop until it, clear the AFE
+            # to ITS marker (the newest one by construction)
+            for t in reversed(tags):
+                if t == tag:
+                    while tags[-1] in _IMPLIED:
+                        self._pop_implicit()
+                    self._pop_until(tag)
+                    for i in range(len(self.open_fmt) - 1, -1, -1):
+                        if self.open_fmt[i] is _MARKER:
+                            del self.open_fmt[i:]
+                            break
+                    return
+                if t in _SCOPE_STOP:
+                    return            # not in scope: ignore
+            return
         if tag == "br":
             # spec: </br> acts as a <br> START tag (position-less
             # synthetic token), which reconstructs active formatting
@@ -1115,7 +1144,7 @@ class _Fast:
                     self._pop_implicit()
                 self._pop_until(tag)
                 return
-            if t in ("table", "td", "th"):
+            if t in _SCOPE_STOP:
                 return                # scope boundary (also special)
             if not block_close and t in _SPECIAL:
                 return                # ignore token
@@ -1223,6 +1252,8 @@ class _Fast:
                         self._close_select(sel_idx)
                         return token
                     raise _Bail
+                if tag == "template" and "template" in self.tags:
+                    raise _Bail       # closes select AND template
                 continue              # any other end tag: ignore
             if tt == "eof":
                 return None           # leave open; caller sees eof next

@@ -102,7 +102,7 @@ def test_differential_corpus():
 _tags = st.sampled_from(
     "div p span ul li b i a h1 h2 br table td form pre em strong section "
     "dd dt dl hr img footer blockquote select option optgroup input "
-    "template menuitem button textarea "
+    "template menuitem button textarea marquee object applet "
     # full FORMATTING_TAGS set — the adoption-agency corner the fast lane
     # must bail on (a round-1 nobr divergence hid here)
     "nobr small big tt u s strike font code "
@@ -238,6 +238,28 @@ def select_soup(draw):
 @settings(max_examples=500, deadline=None)
 @given(select_soup())
 def test_differential_fuzz_select(src):
+    assert_equal_trees(src)
+
+
+_marker_tags = st.sampled_from(
+    "marquee object applet b i p div a nobr em li template select".split())
+
+
+@st.composite
+def marker_soup(draw):
+    """AFE-marker containers (marquee/object/applet/template) interleaved
+    with formatting — targets marker discipline, scope boundaries and
+    the cross-sub-parser </template> guards."""
+    parts = ["<!DOCTYPE html><html><head></head><body>"]
+    for _ in range(draw(st.integers(1, 12))):
+        t = draw(_marker_tags)
+        parts.append(draw(st.sampled_from([f"<{t}>", f"</{t}>", "x", " "])))
+    return "".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(marker_soup())
+def test_differential_fuzz_markers(src):
     assert_equal_trees(src)
 
 
