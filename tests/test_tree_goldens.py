@@ -779,6 +779,119 @@ l</listing>
 """
 
 
+# Round-3 family #4: AFE-marker containers (marquee/object/applet) and
+# template/select interplay — expected trees hand-derived from WHATWG
+# 13.2.6.4.7 (marker push on marquee/object/applet; clear-to-marker on
+# close), button-scope rules, "in select" template handling and the
+# end-template behavior inside select.
+DAT4 = r"""
+#data
+<!DOCTYPE html><b>a<marquee><i>in</marquee>out
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "a"
+|       <marquee>
+|         <i>
+|           "in"
+|       "out"
+
+#data
+<!DOCTYPE html><p><object><p>in</object>after
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <object>
+|         <p>
+|           "in"
+|       "after"
+
+#data
+<!DOCTYPE html><applet><li>x</applet>y
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <applet>
+|       <li>
+|         "x"
+|     "y"
+
+#data
+<!DOCTYPE html><select><template></select>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <template>
+|         content
+|           "x"
+
+#data
+<!DOCTYPE html><template><select>s</template>t
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <select>
+|           "s"
+|   <body>
+|     "t"
+
+#data
+<!DOCTYPE html><div><marquee><b></div><marquee>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       <marquee>
+|         <b>
+|           <marquee>
+
+#data
+<!DOCTYPE html><table><select><option>o<td>c</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "o"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+
+#data
+<!DOCTYPE html><object><param name=a><img src=b></object>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <object>
+|       <param>
+|         name="a"
+|       <img>
+|         src="b"
+"""
+
+
 _FRAG_NS = {"svg": NS_SVG, "math": NS_MATHML}
 
 
@@ -797,7 +910,8 @@ def parse_dat(dat: str):
     return cases
 
 
-CASES = parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
+CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
+         + parse_dat(DAT4))
 
 
 @pytest.mark.parametrize("src,frag_ctx,expected", CASES,
