@@ -525,6 +525,33 @@ def q_hostile2_node_counts(spark, sf_dir):
                             fields=["url", "n_nodes", "n_elements"])
 
 
+def _messy_pages(spark, sf_dir):
+    return pg.messy_pages_df(spark, sf_dir)
+
+
+def q_messy_serialize(spark, sf_dir):
+    """The realistic frameless page (implied frames, form/select/
+    marquee/template/pre/textarea/button) round-tripped against the
+    hand-derived spec serialization."""
+    return _messy_pages(spark, sf_dir).select("url", "html").mapInPandas(
+        _serialize_kernel, schema="url string, html_out string")
+
+
+def q_messy_inner_text(spark, sf_dir):
+    return ex.extract_pages(_messy_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "inner_text"])
+
+
+def q_messy_text_content(spark, sf_dir):
+    return ex.extract_pages(_messy_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "text_content"])
+
+
+def q_messy_node_counts(spark, sf_dir):
+    return ex.extract_pages(_messy_pages(spark, sf_dir), span_selector=None,
+                            fields=["url", "n_nodes", "n_elements"])
+
+
 def q_entity_text(spark, sf_dir):
     """Character-reference decoding (named/numeric/legacy refs incl.
     a&copyb and &notit;) under oracle check."""
@@ -636,6 +663,10 @@ QUERIES = {
     "hostile2_inner_text": q_hostile2_inner_text,
     "hostile2_text_content": q_hostile2_text_content,
     "hostile2_node_counts": q_hostile2_node_counts,
+    "messy_serialize": q_messy_serialize,
+    "messy_inner_text": q_messy_inner_text,
+    "messy_text_content": q_messy_text_content,
+    "messy_node_counts": q_messy_node_counts,
     "compat_mode": q_compat_mode,
     "entity_text": q_entity_text,
     "entity_serialize": q_entity_serialize,
@@ -874,6 +905,56 @@ ORACLES: dict[str, str] = {
         "with pages as (" + pg.hostile2_pages_cte() + ") select url, "
         "cast(34 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
         "cast(23 + doc_id % 3 + 1 as bigint) as n_elements from pages",
+    # messy family: frameless realistic page; expected values hand-
+    # derived from WHATWG (implied frames, in-select implied closes,
+    # marker containers, pre/textarea newline rule); k = doc_id % 3 + 1
+    "messy_serialize":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        + pg.messy_serialized_expr(pg.DUCK) + " as html_out from pages",
+    "messy_inner_text":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        f"'go ' || cast(doc_id as varchar) || {NL} || "
+        f"repeat('o' || {NL}, doc_id % 3 + 1) || "
+        f"'m ' || cast(doc_id as varchar) || {NL} || "
+        f"'code ' || cast(doc_id as varchar) || {NL} || "
+        f"'ab ' || cast(doc_id as varchar) || text || {NL} || {NL} "
+        f"as inner_text from pages",
+    "messy_text_content":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        "'go ' || cast(doc_id as varchar) || repeat('o', doc_id % 3 + 1) "
+        "|| 'm ' || cast(doc_id as varchar) || 't ' || cast(doc_id as varchar) "
+        "|| 'code ' || cast(doc_id as varchar) || 'a' "
+        "|| 'b ' || cast(doc_id as varchar) || 'ta ' || cast(doc_id as varchar) "
+        "|| text as text_content from pages",
+    "messy_node_counts":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        "cast(27 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
+        "cast(17 + doc_id % 3 + 1 as bigint) as n_elements from pages",
+    # messy family: frameless realistic page; expected values hand-
+    # derived from WHATWG (implied frames, in-select implied closes,
+    # marker containers, pre/textarea newline rule); k = doc_id % 3 + 1
+    "messy_serialize":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        + pg.messy_serialized_expr(pg.DUCK) + " as html_out from pages",
+    "messy_inner_text":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        f"'go ' || cast(doc_id as varchar) || {NL} || "
+        f"repeat('o' || {NL}, doc_id % 3 + 1) || "
+        f"'m ' || cast(doc_id as varchar) || {NL} || "
+        f"'code ' || cast(doc_id as varchar) || {NL} || "
+        f"'ab ' || cast(doc_id as varchar) || text || {NL} || {NL} "
+        f"as inner_text from pages",
+    "messy_text_content":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        "'go ' || cast(doc_id as varchar) || repeat('o', doc_id % 3 + 1) "
+        "|| 'm ' || cast(doc_id as varchar) || 't ' || cast(doc_id as varchar) "
+        "|| 'code ' || cast(doc_id as varchar) || 'a' "
+        "|| 'b ' || cast(doc_id as varchar) || 'ta ' || cast(doc_id as varchar) "
+        "|| text as text_content from pages",
+    "messy_node_counts":
+        "with pages as (" + pg.messy_pages_cte() + ") select url, "
+        "cast(27 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
+        "cast(17 + doc_id % 3 + 1 as bigint) as n_elements from pages",
     "compat_mode":
         "with pages as (" + pg.doctype_variant_select_sql(pg.DUCK, "documents")
         + ") select url, case doc_id % 3 when 1 then 'CSS1Compat' "

@@ -328,6 +328,80 @@ def hostile2_pages_cte(docs_rel: str = DOCUMENTS) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Messy family — the realistic frameless page: every construct the round-3
+# fast lane covers, under oracle check.  No doctype (quirks mode), no
+# <html>/<body> tags (implied frames), form/input/button, select with
+# implied option closes, marquee (AFE marker), template (content in the
+# arena, excluded from innerText), pre and textarea with the
+# leading-newline rule, button inside an open <p>.
+#
+# Tree (k = doc_id % 3 + 1 options): html>head>[meta,title],
+# body>[form[input,button], select[k x option], marquee[b], template[li],
+# pre, p[a-text, button, textarea, tail-text]]
+# => n_nodes = 27 + 2k, n_elements = 17 + k, quirks = BackCompat.
+# ---------------------------------------------------------------------------
+
+
+def messy_html_expr(dialect: str, id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    i = cast_str(id_col, dialect)
+    nl = "chr(10)" if dialect == DUCK else "char(10)"
+    return (
+        f"'<head><meta charset=\"utf-8\"><title>M ' || {i} || '</title></head>"
+        f"<form action=\"/s\"><input name=\"q\">"
+        f"<button>go ' || {i} || '</button></form>"
+        f"<select>' || repeat('<option>o', {id_col} % 3 + 1) || '</select>"
+        f"<marquee><b>m ' || {i} || '</b></marquee>"
+        f"<template><li>t ' || {i} || '</li></template>"
+        f"<pre>' || {nl} || 'code ' || {i} || '</pre>"
+        f"<p>a<button>b ' || {i} || '</button>"
+        f"<textarea>' || {nl} || 'ta ' || {i} || '</textarea>' || {text_col}"
+    )
+
+
+def messy_serialized_expr(dialect: str, id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Expected serialize(parse(messy_html)): implied html/head/body
+    materialized, option end tags synthesized, single leading newline of
+    pre/textarea consumed, everything after <p> nested inside it."""
+    i = cast_str(id_col, dialect)
+    return (
+        f"'<html><head><meta charset=\"utf-8\"><title>M ' || {i} || '</title>"
+        f"</head><body><form action=\"/s\"><input name=\"q\">"
+        f"<button>go ' || {i} || '</button></form>"
+        f"<select>' || repeat('<option>o</option>', {id_col} % 3 + 1) || '</select>"
+        f"<marquee><b>m ' || {i} || '</b></marquee>"
+        f"<template><li>t ' || {i} || '</li></template>"
+        f"<pre>code ' || {i} || '</pre>"
+        f"<p>a<button>b ' || {i} || '</button>"
+        f"<textarea>ta ' || {i} || '</textarea>' || {text_col} || '</p>"
+        f"</body></html>'"
+    )
+
+
+def messy_url_expr(dialect: str, id_col: str = "doc_id") -> str:
+    return f"'https://example.org/messy/' || {cast_str(id_col, dialect)}"
+
+
+def messy_select_sql(dialect: str, docs_rel: str) -> str:
+    return (
+        f"select doc_id, {messy_url_expr(dialect)} as url, "
+        f"{messy_html_expr(dialect)} as html_str, text from {docs_rel}"
+    )
+
+
+def messy_pages_df(spark, sf_dir: str):
+    docs = read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    df = spark.sql(messy_select_sql(SPARK, "__docs_src"))
+    return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
+
+
+def messy_pages_cte(docs_rel: str = DOCUMENTS) -> str:
+    return messy_select_sql(DUCK, docs_rel)
+
+
+# ---------------------------------------------------------------------------
 # Entity family — character-reference decoding under oracle check
 # (tokenizer named/numeric/legacy refs + serializer re-escaping; reference
 # behavior t/0-api.t:122, DOM.pod:1044-1046).  The soup covers: named
