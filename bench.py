@@ -106,6 +106,13 @@ def main() -> None:
     bench("extract_hostile2", lambda: extract_pages(
         hostile2, span_selector=None, fields=["url", "inner_text"])
         .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
+    # q1e: the realistic frameless page (implied frames, form/select/
+    # template/marquee/pre) — the most crawl-representative single number
+    from perl_html5_dom_spark.sources.pages import messy_pages_df
+    messy = messy_pages_df(spark, sf_dir)
+    bench("extract_messy", lambda: extract_pages(
+        messy, span_selector=None, fields=["url", "inner_text"])
+        .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
           .count())
