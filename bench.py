@@ -113,6 +113,13 @@ def main() -> None:
     bench("extract_messy", lambda: extract_pages(
         messy, span_selector=None, fields=["url", "inner_text"])
         .agg(F.sum(F.length("inner_text")), F.count("*")).collect())
+    # q1f: PDF layout parse (north rule) — generate + parse in one
+    # kernel pass; measures the dom/pdf.py extractor throughput
+    from perl_html5_dom_spark.operators.pdfextract import extract_pdfs
+    from perl_html5_dom_spark.sources.pdfs import pdf_docs_df
+    pdfs = pdf_docs_df(spark, sf_dir)
+    bench("pdf_extract", lambda: extract_pdfs(pdfs)
+          .agg(F.sum(F.length("text")), F.count("*")).collect())
     # q2: selector kernel find
     bench("css_find", lambda: selector_ops.css_find(pages, "article > a.ref")
           .count())

@@ -21,11 +21,13 @@ from .operators import dedup as dd
 from .operators import events as ev
 from .operators import extract as ex
 from .operators import nodes as nd
+from .operators import pdfextract as px
 from .operators import selector_ops as so
 from .operators import similarity as sim
 from .operators import textstats as ts
 from .operators import urlnorm as un
 from .sources import pages as pg
+from .sources import pdfs as pf
 
 # ---------------------------------------------------------------------------
 # shared corpora
@@ -613,6 +615,21 @@ def q_events_json(spark, sf_dir):
     return ev.json_props(_events(spark, sf_dir))
 
 
+def q_pdf_extract_text(spark, sf_dir):
+    """PDF layout-parse (north rule): from-scratch parser (dom/pdf.py)
+    over the deterministic 4-variant PDF corpus; oracle derives the
+    layout-ordered text from (doc_id, text) arithmetic alone."""
+    return px.extract_pdfs(pf.pdf_docs_df(spark, sf_dir)).select("url", "text")
+
+
+def q_pdf_page_stats(spark, sf_dir):
+    df = px.extract_pdfs(pf.pdf_docs_df(spark, sf_dir))
+    return df.select(
+        "url",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -673,6 +690,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "events_windowed": q_events_windowed,
     "events_json": q_events_json,
+    "pdf_extract_text": q_pdf_extract_text,
+    "pdf_page_stats": q_pdf_page_stats,
 }
 
 
@@ -930,31 +949,6 @@ ORACLES: dict[str, str] = {
         "with pages as (" + pg.messy_pages_cte() + ") select url, "
         "cast(27 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
         "cast(17 + doc_id % 3 + 1 as bigint) as n_elements from pages",
-    # messy family: frameless realistic page; expected values hand-
-    # derived from WHATWG (implied frames, in-select implied closes,
-    # marker containers, pre/textarea newline rule); k = doc_id % 3 + 1
-    "messy_serialize":
-        "with pages as (" + pg.messy_pages_cte() + ") select url, "
-        + pg.messy_serialized_expr(pg.DUCK) + " as html_out from pages",
-    "messy_inner_text":
-        "with pages as (" + pg.messy_pages_cte() + ") select url, "
-        f"'go ' || cast(doc_id as varchar) || {NL} || "
-        f"repeat('o' || {NL}, doc_id % 3 + 1) || "
-        f"'m ' || cast(doc_id as varchar) || {NL} || "
-        f"'code ' || cast(doc_id as varchar) || {NL} || "
-        f"'ab ' || cast(doc_id as varchar) || text || {NL} || {NL} "
-        f"as inner_text from pages",
-    "messy_text_content":
-        "with pages as (" + pg.messy_pages_cte() + ") select url, "
-        "'go ' || cast(doc_id as varchar) || repeat('o', doc_id % 3 + 1) "
-        "|| 'm ' || cast(doc_id as varchar) || 't ' || cast(doc_id as varchar) "
-        "|| 'code ' || cast(doc_id as varchar) || 'a' "
-        "|| 'b ' || cast(doc_id as varchar) || 'ta ' || cast(doc_id as varchar) "
-        "|| text as text_content from pages",
-    "messy_node_counts":
-        "with pages as (" + pg.messy_pages_cte() + ") select url, "
-        "cast(27 + 2 * (doc_id % 3 + 1) as bigint) as n_nodes, "
-        "cast(17 + doc_id % 3 + 1 as bigint) as n_elements from pages",
     "compat_mode":
         "with pages as (" + pg.doctype_variant_select_sql(pg.DUCK, "documents")
         + ") select url, case doc_id % 3 when 1 then 'CSS1Compat' "
@@ -1044,6 +1038,16 @@ ORACLES: dict[str, str] = {
         "with pages as (" + pg.entity_select_sql(pg.DUCK, "documents")
         + ") select url, " + pg.entity_serialized_expr()
         + " as html_out from pages",
+    # PDF family: expected layout-ordered text derived arithmetically
+    # (sources/pdfs.py docstring); the 4 file-structure variants all
+    # encode the same document, so one expression covers every variant
+    "pdf_extract_text":
+        "with pdfs as (" + pf.pdf_oracle_cte() + ") "
+        "select url, text from pdfs",
+    "pdf_page_stats":
+        "with pdfs as (" + pf.pdf_oracle_cte() + ") "
+        "select url, n_pages, cast(length(text) as bigint) as n_chars "
+        "from pdfs",
 }
 
 # lang_id oracle from the same marker table
