@@ -56,7 +56,48 @@ ENCODINGS: dict[str, str] = {
     "SHIFT_JIS": "shift_jis",
     "EUC-JP": "euc_jp",
     "EUC-KR": "euc_kr",
+    "MACINTOSH": "mac-roman",
+    "ISO-2022-JP": "iso2022_jp",
+    # logical-order variant of iso-8859-8: same byte mapping, the
+    # directionality difference is a rendering concern (WHATWG index)
+    "ISO-8859-8-I": "iso8859-8",
+    "WINDOWS-874": "cp874",
+    "X-USER-DEFINED": "x-user-defined",  # custom codec registered below
 }
+
+
+def _xud_decode(data, errors: str = "strict"):
+    """x-user-defined: 0x00-7F identity, 0x80-FF → U+F780-F7FF
+    (WHATWG Encoding §14.5)."""
+    b = bytes(data)
+    return ("".join(chr(c) if c < 0x80 else chr(0xF700 + c)
+                    for c in b), len(b))
+
+
+def _xud_encode(text: str, errors: str = "strict"):
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80:
+            out.append(o)
+        elif 0xF780 <= o <= 0xF7FF:
+            out.append(o - 0xF700)
+        elif errors == "replace":
+            out.append(0x3F)
+        else:
+            raise UnicodeEncodeError(
+                "x-user-defined", text, 0, 1, "unmappable")
+    return bytes(out), len(text)
+
+
+def _xud_search(name: str):
+    if name.replace("_", "-") == "x-user-defined":
+        return codecs.CodecInfo(_xud_encode, _xud_decode,
+                                name="x-user-defined")
+    return None
+
+
+codecs.register(_xud_search)
 
 _IDS = {name: i + 1 for i, name in enumerate(ENCODINGS)}
 _NAMES = {v: k for k, v in _IDS.items()}
@@ -94,6 +135,17 @@ _LABELS = {
     "gbk": "GBK", "gb2312": "GBK", "gb18030": "GB18030",
     "big5": "BIG5", "shift_jis": "SHIFT_JIS", "shift-jis": "SHIFT_JIS",
     "sjis": "SHIFT_JIS", "euc-jp": "EUC-JP", "euc-kr": "EUC-KR",
+    "macintosh": "MACINTOSH", "mac": "MACINTOSH",
+    "x-mac-roman": "MACINTOSH", "csmacintosh": "MACINTOSH",
+    "iso-2022-jp": "ISO-2022-JP", "csiso2022jp": "ISO-2022-JP",
+    "iso-8859-8-i": "ISO-8859-8-I", "csiso88598i": "ISO-8859-8-I",
+    "logical": "ISO-8859-8-I", "visual": "ISO-8859-8",
+    "iso8859-8": "ISO-8859-8", "iso88598": "ISO-8859-8",
+    # WHATWG folds the Thai family into windows-874
+    "windows-874": "WINDOWS-874", "tis-620": "WINDOWS-874",
+    "iso-8859-11": "WINDOWS-874", "iso8859-11": "WINDOWS-874",
+    "dos-874": "WINDOWS-874",
+    "x-user-defined": "X-USER-DEFINED",
 }
 
 
@@ -158,6 +210,8 @@ def detect_by_prescan_stream(data: bytes | str,
             # x-user-defined / utf-16 in meta are remapped per spec
             if enc in ("UTF-16LE", "UTF-16BE"):
                 return "UTF-8"
+            if enc == "X-USER-DEFINED":
+                return "WINDOWS-1252"
             return enc
     return None
 

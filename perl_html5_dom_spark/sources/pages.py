@@ -477,7 +477,7 @@ def doctype_variant_select_sql(dialect: str, docs_rel: str) -> str:
     )
 
 
-#: encoding variant per doc_id % 20 — exercises the sniffing pipeline
+#: encoding variant per doc_id % len(ENCODING_VARIANTS) — exercises the sniffing pipeline
 #: (meta prescan for the ASCII-compatible charsets, BOM for utf-16
 #: LE/BE; reference utils.c:620-649 order) across the reference's label
 #: families (lib/HTML5/DOM.pod:3138-3194): cyrillic, central-european,
@@ -516,6 +516,15 @@ ENCODING_VARIANTS = [
     ("ISO-8859-4", "iso-8859-4", "iso8859-4"),
     ("ISO-8859-6", "iso-8859-6", "iso8859-6"),
     ("ISO-8859-8", "iso-8859-8", "iso8859-8"),
+    ("WINDOWS-874", "windows-874", "cp874"),
+    ("MACINTOSH", "macintosh", "mac-roman"),
+    ("ISO-8859-10", "iso-8859-10", "iso8859-10"),
+    ("ISO-8859-13", "iso-8859-13", "iso8859-13"),
+    ("ISO-8859-14", "iso-8859-14", "iso8859-14"),
+    ("ISO-8859-16", "iso-8859-16", "iso8859-16"),
+    # ASCII corpus: iso-2022-jp emits no escape sequences, 1 byte/char
+    ("ISO-2022-JP", "iso-2022-jp", "iso2022_jp"),
+    ("ISO-8859-8-I", "iso-8859-8-i", "iso8859-8"),
 ]
 
 

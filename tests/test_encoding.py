@@ -83,3 +83,51 @@ def test_parse_roundtrips():
     tree = HTML5DOM().parse(raw)
     assert tree.encoding() == "WINDOWS-1251"
     assert text in tree.body().text()
+
+
+def test_full_reference_label_coverage():
+    """Every real encoding in the reference's supported list
+    (lib/HTML5/DOM.pod:3142-3149; AUTO/NOT-DETERMINED are pseudo
+    entries) resolves to a decodable codec."""
+    reference_names = [
+        "BIG5", "EUC-JP", "EUC-KR", "GB18030", "GBK", "IBM866",
+        "MACINTOSH", "X-MAC-CYRILLIC", "SHIFT_JIS", "ISO-2022-JP",
+        "ISO-8859-10", "ISO-8859-13", "ISO-8859-14", "ISO-8859-15",
+        "ISO-8859-16", "ISO-8859-2", "ISO-8859-3", "ISO-8859-4",
+        "ISO-8859-5", "ISO-8859-6", "ISO-8859-7", "ISO-8859-8",
+        "ISO-8859-8-I", "WINDOWS-1250", "WINDOWS-1251", "WINDOWS-1252",
+        "WINDOWS-1253", "WINDOWS-1254", "WINDOWS-1255", "WINDOWS-1256",
+        "WINDOWS-1257", "WINDOWS-1258", "WINDOWS-874", "UTF-8",
+        "UTF-16BE", "UTF-16LE", "KOI8-R", "KOI8-U", "X-USER-DEFINED",
+    ]
+    for name in reference_names:
+        codec = enc.python_codec(name)
+        assert codec is not None, name
+        assert "ok".encode(codec).decode(codec) == "ok", name
+        assert enc.name2id(name) is not None, name
+
+
+def test_x_user_defined_codec():
+    # WHATWG Encoding §14.5: 0x80-0xFF map to U+F780-F7FF, round-trip
+    b = bytes(range(256))
+    t = b.decode("x-user-defined")
+    assert t.encode("x-user-defined") == b
+    assert t[0x41] == "A"
+    assert ord(t[0x80]) == 0xF780 and ord(t[0xFF]) == 0xF7FF
+    # explicit-encoding decode path
+    name, text = enc.sniff_and_decode(b"hi \x80", encoding="x-user-defined")
+    assert name == "X-USER-DEFINED" and text == "hi "
+    # but in a meta prescan the spec remaps it to windows-1252
+    assert enc.detect_by_prescan_stream(
+        b'<meta charset="x-user-defined">') == "WINDOWS-1252"
+
+
+def test_whatwg_label_folds():
+    # label aliases the reference accepts via myencoding_by_name
+    assert enc.python_codec("tis-620") == "cp874"       # Thai family fold
+    assert enc.python_codec("iso-8859-11") == "cp874"
+    assert enc.python_codec("macintosh") == "mac-roman"
+    assert enc.python_codec("csmacintosh") == "mac-roman"
+    assert enc.python_codec("logical") == "iso8859-8"   # 8859-8-I
+    assert enc.python_codec("visual") == "iso8859-8"
+    assert enc.python_codec("iso-2022-jp") == "iso2022_jp"
