@@ -22,12 +22,22 @@ class HTML5DOM:
         encoding_use_meta: bool = True,
         encoding_use_bom: bool = True,
         encoding_prescan_limit: int = _enc.PRESCAN_LIMIT,
+        scripts: bool = True,
+        ignore_whitespace: bool = False,
+        ignore_doctype: bool = False,
     ) -> None:
         self.encoding = encoding
         self.default_encoding = default_encoding
         self.encoding_use_meta = encoding_use_meta
         self.encoding_use_bom = encoding_use_bom
         self.encoding_prescan_limit = encoding_prescan_limit
+        #: parser options (reference DOM.pod:3234-3244): scripts=1 means
+        #: <noscript> contents become one text node; ignore_whitespace
+        #: drops whitespace-only text tokens; ignore_doctype drops the
+        #: doctype token (document stays quirks, no doctype node)
+        self._tb_opts = dict(scripts=scripts,
+                             ignore_whitespace=ignore_whitespace,
+                             ignore_doctype=ignore_doctype)
 
     def _decode(self, html, encoding: str | None = None) -> tuple[str, str]:
         return _enc.sniff_and_decode(
@@ -41,14 +51,14 @@ class HTML5DOM:
 
     def parse(self, html, encoding: str | None = None) -> Tree:
         enc, text = self._decode(html, encoding)
-        doc = TreeBuilder().parse(text)
+        doc = TreeBuilder(**self._tb_opts).parse(text)
         doc.encoding = enc
         return Tree(doc)
 
     def parseFragment(self, html, tag: str = "div",
                       encoding: str | None = None) -> Fragment:
         enc, text = self._decode(html, encoding)
-        doc, frag = TreeBuilder().parse_fragment(text, tag)
+        doc, frag = TreeBuilder(**self._tb_opts).parse_fragment(text, tag)
         doc.encoding = enc
         return _wrap(Tree(doc), frag)
 

@@ -6,9 +6,12 @@ insertion-mode state machine, implied end tags, active formatting elements
 with the adoption agency algorithm, table foster parenting, and foreign
 (SVG/MathML) content. Output is a flat-array :class:`~.document.Document`.
 
-Scripting is treated as disabled (``<noscript>`` parses as markup), matching
-the html5lib-tests configuration the reference scores against
-(/root/reference/lib/HTML5/DOM.pod:3318-3377).
+Scripting defaults to enabled — ``<noscript>`` contents become a single
+text node — matching the reference's ``scripts`` option default
+(/root/reference/lib/HTML5/DOM.pod:3240-3244).  ``scripts=False`` parses
+``<noscript>`` contents as child nodes via the spec's "in head noscript"
+insertion mode; ``ignore_whitespace`` / ``ignore_doctype`` mirror the
+reference's remaining parser flags (DOM.pod:3234-3238).
 """
 
 from __future__ import annotations
@@ -61,7 +64,12 @@ def _is_ws(text: str) -> bool:
 
 
 class TreeBuilder:
-    def __init__(self) -> None:
+    def __init__(self, scripts: bool = True, ignore_whitespace: bool = False,
+                 ignore_doctype: bool = False) -> None:
+        #: reference parser options (DOM.pod:3234-3244)
+        self.scripts = scripts
+        self.ignore_whitespace = ignore_whitespace
+        self.ignore_doctype = ignore_doctype
         self.doc: Document = None  # type: ignore[assignment]
         self.tok: Tokenizer = None  # type: ignore[assignment]
         self.stack: list[int] = []
@@ -144,6 +152,9 @@ class TreeBuilder:
                 tok.allow_cdata = (
                     self._has_foreign and self._in_foreign_cdata_context())
                 token = tok.next_token()
+            if self.ignore_whitespace and token[0] == "char" \
+                    and not token[1].strip(_WS):
+                continue
             dispatch(token)
 
     def _reprocess(self, token) -> None:
@@ -651,6 +662,8 @@ class TreeBuilder:
             self._insert_comment_to(self.doc.root, token)
             return
         if tt == "doctype":
+            if self.ignore_doctype:  # reference ignore_doctype=1: the
+                return               # token is dropped, no doctype node
             name, public, system, force_quirks = token[1], token[2], token[3], token[4]
             nid = self.doc.new_doctype(name, public, system)
             self.doc.append_child(self.doc.root, nid)
@@ -802,6 +815,12 @@ class TreeBuilder:
                 self.mode = "text"
                 return
             if tag in ("noframes", "style", "noscript"):
+                if tag == "noscript" and not self.scripts:
+                    # scripting disabled (reference scripts=0): contents
+                    # parse as child nodes, WHATWG "in head noscript"
+                    self._insert_element(token)
+                    self.mode = "in_head_noscript"
+                    return
                 self._insert_element(token)
                 self.tok.set_rawtext(tag, "rawtext")
                 self.original_mode = self.mode
@@ -835,6 +854,46 @@ class TreeBuilder:
                 return
         self.stack.pop()
         self.mode = "after_head"
+        self._reprocess(token)
+
+    def _mode_in_head_noscript(self, token) -> None:
+        """WHATWG "in head noscript" (scripting disabled; reference
+        scripts=0, DOM.pod:3240-3244): noscript contents parse as child
+        nodes, restricted to head-legal content."""
+        tt = token[0]
+        if tt == "char":
+            ws, rest, pos = _split_leading_ws(token)
+            if ws:
+                self._insert_text(ws)
+            if not rest:
+                return
+            token = ("char", rest, pos, len(rest))  # parse error: pop
+        elif tt == "comment":
+            self._insert_comment(token)
+            return
+        elif tt == "doctype":
+            return
+        elif tt == "start":
+            tag = token[1]
+            if tag == "html":
+                self._mode_in_body(token)
+                return
+            if tag in ("basefont", "bgsound", "link", "meta", "noframes",
+                       "style"):
+                self._mode_in_head(token)
+                return
+            if tag in ("head", "noscript"):
+                return
+        elif tt == "end":
+            if token[1] == "noscript":
+                self.stack.pop()
+                self.mode = "in_head"
+                return
+            if token[1] != "br":
+                return
+        # anything else: pop the noscript, reprocess in head
+        self.stack.pop()
+        self.mode = "in_head"
         self._reprocess(token)
 
     def _end_template(self) -> None:
@@ -963,6 +1022,12 @@ class TreeBuilder:
             return
         if tag in ("base", "basefont", "bgsound", "link", "meta", "noframes",
                    "script", "style", "template", "title", "noscript"):
+            if tag == "noscript" and not self.scripts:
+                # scripting disabled: ordinary element in body (WHATWG
+                # "in body", noscript branch applies only when enabled)
+                self._reconstruct_afe()
+                self._insert_element(token)
+                return
             self._mode_in_head(token)
             return
         if tag == "body":
@@ -1978,9 +2043,11 @@ def _adjust_foreign_attrs(attr_list, svg: bool = False,
     return attrs
 
 
-def parse(src: str) -> Document:
-    """Parse a full HTML document string into a Document."""
-    return TreeBuilder().parse(src)
+def parse(src: str, **opts) -> Document:
+    """Parse a full HTML document string into a Document.  ``opts``:
+    ``scripts`` / ``ignore_whitespace`` / ``ignore_doctype``
+    (reference parser options, DOM.pod:3234-3244)."""
+    return TreeBuilder(**opts).parse(src)
 
 
 def parse_fragment(src: str, context_tag: str = "div",

@@ -98,3 +98,57 @@ def test_template_content():
     t = HTML5DOM().parse("<template><p>x</p></template><div>y</div>")
     assert t.find("template").length() == 1
     assert t.at("div").text() == "y"
+
+
+# ---------------------------------------------------------------------------
+# reference parser options: scripts / ignore_whitespace / ignore_doctype
+# (DOM.pod:3234-3244)
+# ---------------------------------------------------------------------------
+
+
+def test_scripts_default_noscript_rawtext():
+    # scripts=1 default: noscript contents become a single text node
+    from perl_html5_dom_spark import HTML5DOM
+    t = HTML5DOM().parse("<head><noscript><link></noscript></head>")
+    assert t.at("noscript").html() == "<noscript>&lt;link&gt;</noscript>"
+
+
+def test_scripts_disabled_noscript_children():
+    # scripts=0: contents parsed to child nodes, in head AND body
+    from perl_html5_dom_spark import HTML5DOM
+    t = HTML5DOM(scripts=False).parse(
+        '<!DOCTYPE html><head><noscript><link rel="x"><style>s</style>'
+        "</noscript></head><body><noscript><b>y</b></noscript>")
+    head_ns, body_ns = t.find("noscript")
+    assert head_ns.html() == \
+        '<noscript><link rel="x"><style>s</style></noscript>'
+    assert body_ns.html() == "<noscript><b>y</b></noscript>"
+    assert body_ns.at("b").text() == "y"
+
+
+def test_scripts_disabled_noscript_illegal_head_content():
+    # non-head content pops the noscript and reprocesses after head
+    from perl_html5_dom_spark import HTML5DOM
+    t = HTML5DOM(scripts=False).parse(
+        "<!DOCTYPE html><head><noscript><p>leak</p></noscript></head>")
+    assert t.at("noscript").html() == "<noscript></noscript>"
+    assert t.at("p").parent().tag() == "body"
+
+
+def test_ignore_whitespace():
+    from perl_html5_dom_spark import HTML5DOM
+    t = HTML5DOM(ignore_whitespace=True).parse(
+        "<!DOCTYPE html><body>\n  <p>a</p>\n  <p>b</p>\n")
+    assert t.body().html() == "<body><p>a</p><p>b</p></body>"
+    # non-whitespace text is kept verbatim
+    t2 = HTML5DOM(ignore_whitespace=True).parse("<p> a b </p>")
+    assert t2.at("p").text() == " a b "
+
+
+def test_ignore_doctype():
+    from perl_html5_dom_spark import HTML5DOM
+    t = HTML5DOM(ignore_doctype=True).parse("<!DOCTYPE html><p>x</p>")
+    assert t.document().html() == \
+        "<html><head></head><body><p>x</p></body></html>"
+    # no doctype seen => quirks document
+    assert t.compatMode() == "BackCompat"
