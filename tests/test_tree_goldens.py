@@ -892,6 +892,276 @@ DAT4 = r"""
 """
 
 
+# Family #5: structural edge cases a crawl hits constantly —
+# implied/stray end tags, form pointer in tables, attribute
+# merging on duplicate html/body, list/definition/ruby implied
+# ends, select legacy "anything else: ignore" (the reference-era
+# spec; modern hr-in-select is a post-MyHTML addition), rawtext
+# leading-newline, hidden-input-in-table non-fostering, CDATA in
+# foreign content.  Hand-derived from WHATWG 13.2.6.
+DAT5 = r'''
+#data
+<!DOCTYPE html><body></p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|     "x"
+
+#data
+<!DOCTYPE html><body></br>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <br>
+|     "x"
+
+#data
+<!DOCTYPE html><body><form><form><input></form>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       <input>
+
+#data
+<!DOCTYPE html><body><table><form><tr><td>c</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <form>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+
+#data
+<html><head></head><body a="1"><body b="2">x
+#document
+| <html>
+|   <head>
+|   <body>
+|     a="1"
+|     b="2"
+|     "x"
+
+#data
+<!DOCTYPE html><ul><li>a<div><li>b</ul>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         "a"
+|         <div>
+|       <li>
+|         "b"
+
+#data
+<!DOCTYPE html><dl><dt>t<dd>d<dt>t2</dl>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <dl>
+|       <dt>
+|         "t"
+|       <dd>
+|         "d"
+|       <dt>
+|         "t2"
+
+#data
+<!DOCTYPE html><a href=1>x<a href=2>y</a></a>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="1"
+|       "x"
+|     <a>
+|       href="2"
+|       "y"
+
+#data
+<!DOCTYPE html><nobr>a<nobr>b</nobr>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <nobr>
+|       "a"
+|     <nobr>
+|       "b"
+
+#data
+<!DOCTYPE html><ruby>base<rt>anno<rp>(</rp></ruby>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <ruby>
+|       "base"
+|       <rt>
+|         "anno"
+|       <rp>
+|         "("
+
+#data
+<!DOCTYPE html><body><optgroup><option>a<option>b<optgroup><option>c
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <optgroup>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+|       <optgroup>
+|         <option>
+|           "c"
+
+#data
+<!DOCTYPE html><table><td>c</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+
+#data
+<!DOCTYPE html><listing>
+code</listing>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <listing>
+|       "code"
+
+#data
+<!DOCTYPE html><table><col span=2></table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <colgroup>
+|         <col>
+|           span="2"
+
+#data
+<!DOCTYPE html><table><caption>c<tr><td>d</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "c"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "d"
+
+#data
+<!DOCTYPE html><table><input type="hidden" name="h"><tr><td>c</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <input>
+|         name="h"
+|         type="hidden"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "c"
+
+#data
+<!DOCTYPE html><body><keygen>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <keygen>
+|     "x"
+
+#data
+<!DOCTYPE html><select><option>a<hr><option>b</select>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+
+#data
+<!DOCTYPE html><body><plaintext>a<b>c
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <plaintext>
+|       "a<b>c"
+
+#data
+<!DOCTYPE html><body><xmp><b>raw</b></xmp>tail
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <xmp>
+|       "<b>raw</b>"
+|     "tail"
+
+#data
+<!DOCTYPE html><body><svg><![CDATA[x<b>y]]></svg>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "x<b>y"
+'''
+
+
 _FRAG_NS = {"svg": NS_SVG, "math": NS_MATHML}
 
 
@@ -911,7 +1181,7 @@ def parse_dat(dat: str):
 
 
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
-         + parse_dat(DAT4))
+         + parse_dat(DAT4) + parse_dat(DAT5))
 
 
 @pytest.mark.parametrize("src,frag_ctx,expected", CASES,
