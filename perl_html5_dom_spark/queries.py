@@ -28,6 +28,7 @@ from .operators import textstats as ts
 from .operators import urlnorm as un
 from .sources import pages as pg
 from .sources import pdfs as pf
+from .sources import warc as wc
 
 # ---------------------------------------------------------------------------
 # shared corpora
@@ -615,6 +616,18 @@ def q_events_json(spark, sf_dir):
     return ev.json_props(_events(spark, sf_dir))
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC ingestion (the Common-Crawl wire format, sources/warc.py):
+    every page makes the full trip page → WARC response record →
+    per-record-gzip member → record parser → payload → HTML extraction.
+    The oracle is the page template's main text, so a mismatch anywhere
+    in the WARC layer (headers, lengths, gzip framing, HTTP envelope
+    split) surfaces as a value mismatch."""
+    rt = wc.roundtrip_df(pg.pages_df(spark, sf_dir))
+    return ex.extract_pages(rt, span_selector=None,
+                            fields=["url", "main_text"])
+
+
 def q_pdf_extract_text(spark, sf_dir):
     """PDF layout-parse (north rule): from-scratch parser (dom/pdf.py)
     over the deterministic 4-variant PDF corpus; oracle derives the
@@ -692,6 +705,7 @@ QUERIES = {
     "events_json": q_events_json,
     "pdf_extract_text": q_pdf_extract_text,
     "pdf_page_stats": q_pdf_page_stats,
+    "warc_extract": q_warc_extract,
 }
 
 
@@ -1048,6 +1062,10 @@ ORACLES: dict[str, str] = {
         "with pdfs as (" + pf.pdf_oracle_cte() + ") "
         "select url, n_pages, cast(length(text) as bigint) as n_chars "
         "from pdfs",
+    # WARC round-trip: if the WARC writer/reader pair is faithful the
+    # extraction equals the direct page-template answer
+    "warc_extract":
+        f"{PAGES_CTE} select url, text as main_text from pages",
 }
 
 # lang_id oracle from the same marker table

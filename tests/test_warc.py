@@ -1,0 +1,127 @@
+"""WARC ingestion tests (sources/warc.py): record framing, gzip member
+layouts, HTTP envelope split, Spark binaryFile source."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from perl_html5_dom_spark.sources.warc import (
+    WarcError, build_record, build_response_record, build_warc,
+    iter_warc_records, split_http_response)
+
+
+def make_records(n=3):
+    return [build_response_record(
+        f"https://x.org/{i}", f"<h1>t{i}</h1><p>doc {i}</p>".encode(),
+        date=f"2025-01-0{i + 1}T00:00:00Z", charset="utf-8")
+        for i in range(n)]
+
+
+def test_roundtrip_per_record_gzip():
+    data = build_warc(make_records())
+    recs = list(iter_warc_records(data))
+    assert recs[0]["warc_type"] == "warcinfo"
+    resp = [r for r in recs if r["warc_type"] == "response"]
+    assert [r["target_uri"] for r in resp] == [
+        "https://x.org/0", "https://x.org/1", "https://x.org/2"]
+    assert resp[1]["payload"] == b"<h1>t1</h1><p>doc 1</p>"
+    assert resp[1]["date"] == "2025-01-02T00:00:00Z"
+    assert resp[1]["http_headers"][":status"] == "200"
+    assert resp[1]["http_headers"]["content-type"] == \
+        "text/html; charset=utf-8"
+
+
+def test_roundtrip_plain_and_whole_file_gzip():
+    plain = build_warc(make_records(), per_record_gzip=False)
+    assert plain.startswith(b"WARC/1.0\r\n")
+    assert len([r for r in iter_warc_records(plain)
+                if r["warc_type"] == "response"]) == 3
+    whole = gzip.compress(plain)
+    assert len([r for r in iter_warc_records(whole)
+                if r["warc_type"] == "response"]) == 3
+
+
+def test_deterministic_bytes():
+    # mtime=0 members: byte-identical output for identical input
+    assert build_warc(make_records()) == build_warc(make_records())
+
+
+def test_content_length_binary_safe():
+    # payload containing CRLFCRLF and WARC/ markers must not confuse
+    # framing — Content-Length is authoritative
+    evil = b"x\r\n\r\nWARC/1.0\r\n\r\ny"
+    rec = build_response_record("https://x.org/e", evil)
+    out = [r for r in iter_warc_records(build_warc([rec, *make_records(1)]))
+           if r["warc_type"] == "response"]
+    assert out[0]["payload"] == evil
+    assert out[1]["target_uri"] == "https://x.org/0"
+
+
+def test_folded_header_continuation():
+    rec = build_record(
+        "metadata", b"k: v\r\n", uri="https://x.org/m",
+        content_type="application/warc-fields")
+    rec = rec.replace(b"WARC-Target-URI: https://x.org/m",
+                      b"WARC-Target-URI: https://x.org/\r\n m")
+    (got,) = iter_warc_records(rec)
+    assert got["target_uri"] == "https://x.org/ m"
+
+
+def test_http_split_edge_cases():
+    h, p = split_http_response(b"no http header here")
+    assert h == {} and p == b"no http header here"
+    h, p = split_http_response(
+        b"HTTP/1.1 301 Moved\r\nLocation: /y\r\n\r\nbody")
+    assert h[":status"] == "301" and h["location"] == "/y" and p == b"body"
+
+
+def test_garbage_raises():
+    with pytest.raises(WarcError):
+        list(iter_warc_records(b"not warc at all"))
+    with pytest.raises(WarcError):
+        list(iter_warc_records(b"\x1f\x8b\x00broken gzip"))
+
+
+def test_spark_warc_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.sources.warc import warc_pages_df
+
+    # two .warc.gz files of 4 + 3 records
+    for fi, n in ((0, 4), (1, 3)):
+        recs = [build_response_record(
+            f"https://crawl.example/{fi}/{i}",
+            f"<html><body><main><article><h1>Doc {fi}{i}</h1>"
+            f"<p>body {fi}{i}</p></article></main></body></html>".encode(),
+            date="2025-02-03T04:05:06Z")
+            for i in range(n)]
+        (tmp_path / f"part-{fi}.warc.gz").write_bytes(build_warc(recs))
+
+    pages = warc_pages_df(spark, str(tmp_path))
+    rows = {r.url: r for r in pages.collect()}
+    assert len(rows) == 7
+    r = rows["https://crawl.example/1/2"]
+    assert bytes(r.html).startswith(b"<html>")
+    assert str(r.warc_ts) == "2025-02-03 04:05:06"
+
+    out = {r.url: r.main_text for r in extract_pages(
+        pages, span_selector=None,
+        fields=["url", "main_text"]).collect()}
+    assert out["https://crawl.example/0/3"] == "body 03"
+
+
+def test_spark_roundtrip_matches_direct(spark):
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.sources.pages import pages_df
+    from perl_html5_dom_spark.sources.warc import roundtrip_df
+
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    direct = {r.url: r.main_text for r in extract_pages(
+        pages, span_selector=None, fields=["url", "main_text"]).collect()}
+    viawarc = {r.url: r.main_text for r in extract_pages(
+        roundtrip_df(pages), span_selector=None,
+        fields=["url", "main_text"]).collect()}
+    assert direct == viawarc
