@@ -78,6 +78,58 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(docs: DataFrame, min_words: int = 50,
+                   max_words: int = 100000) -> DataFrame:
+    """Gopher/C4-style repetition + quality filter signals per document
+    (the standard web-text curation rules: Rae et al. 2021 "Scaling
+    Language Models" appendix A1.1, and the C4 cleaning heuristics),
+    computed entirely in whole-stage-codegen SQL expressions:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: repeated-line share
+      (boilerplate and navigation chrome repeat; prose doesn't)
+    - ``bullet_frac`` / ``ellipsis_frac``: lines starting "- " / ending
+      "..." (list/teaser pages)
+    - ``mean_word_len``, ``symbol_word_ratio`` ("#", "..." per word)
+    - ``keep``: the conjunction of the published Gopher bounds.
+
+    At 100 TB this is a pure projection — no shuffle, no Python."""
+    lines = "split(text, '\\n')"
+    dlines = f"array_distinct({lines})"
+    words = "split(trim(text), '\\\\s+')"
+    nl = f"size({lines})"
+    nw = f"size({words})"
+    chars = f"aggregate({lines}, 0L, (a, l) -> a + length(l))"
+    dchars = f"aggregate({dlines}, 0L, (a, l) -> a + length(l))"
+    wchars = f"aggregate({words}, 0L, (a, w) -> a + length(w))"
+    hashes = "length(text) - length(replace(text, '#', ''))"
+    ells = "(length(text) - length(replace(text, '...', ''))) / 3"
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    stop = (f"size(filter({words}, "
+            f"t -> array_contains(array({markers}), t)))")
+    sig = docs.selectExpr(
+        "doc_id",
+        f"cast({nl} as bigint) as n_lines",
+        f"cast({nw} as bigint) as n_words",
+        f"round(1.0 - size({dlines}) / {nl}, 6) as dup_line_frac",
+        f"round(1.0 - {dchars} / {chars}, 6) as dup_line_char_frac",
+        f"round(size(filter({lines}, l -> substr(l, 1, 2) = '- ')) / {nl}, 6) "
+        "as bullet_frac",
+        f"round(size(filter({lines}, l -> right(l, 3) = '...')) / {nl}, 6) "
+        "as ellipsis_frac",
+        f"round({wchars} / {nw}, 6) as mean_word_len",
+        f"round(({hashes} + {ells}) / {nw}, 6) as symbol_word_ratio",
+        f"cast({stop} as bigint) as stop_hits",
+    )
+    return sig.selectExpr(
+        "*",
+        f"(n_words between {min_words} and {max_words}) "
+        "and mean_word_len between 3 and 10 "
+        "and symbol_word_ratio < 0.1 "
+        "and bullet_frac < 0.9 and ellipsis_frac < 0.3 "
+        "and dup_line_frac < 0.3 and stop_hits >= 2 as keep",
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens): whitespace tokens plus a
     BPE-ish subword estimate (ceil of char-span/4 per word, the common

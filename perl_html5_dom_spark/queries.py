@@ -616,6 +616,26 @@ def q_events_json(spark, sf_dir):
     return ev.json_props(_events(spark, sf_dir))
 
 
+#: multi-line gopher corpus: body text, k bullet lines, the body text
+#: AGAIN (a guaranteed duplicate line), an ellipsis teaser — exercises
+#: every repetition/format signal deterministically.  Same construction
+#: in both dialects (Spark char(10) / DuckDB chr(10)).
+def _gopher_text(nl: str) -> str:
+    return (f"text || {nl} || "
+            f"repeat('- bullet line' || {nl}, doc_id % 3 + 1) || "
+            f"text || {nl} || 'read more...'")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/C4 repetition + quality filters (textstats.gopher_quality)
+    over a multi-line corpus with known duplicate/bullet/ellipsis lines;
+    the oracle recomputes every signal with DuckDB list functions."""
+    _views(spark, sf_dir)
+    corpus = spark.sql(
+        f"select doc_id, {_gopher_text('char(10)')} as text from documents")
+    return ts.gopher_quality(corpus)
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC ingestion (the Common-Crawl wire format, sources/warc.py):
     every page makes the full trip page → WARC response record →
@@ -706,6 +726,7 @@ QUERIES = {
     "pdf_extract_text": q_pdf_extract_text,
     "pdf_page_stats": q_pdf_page_stats,
     "warc_extract": q_warc_extract,
+    "gopher_quality": q_gopher_quality,
 }
 
 
@@ -1066,6 +1087,37 @@ ORACLES: dict[str, str] = {
     # extraction equals the direct page-template answer
     "warc_extract":
         f"{PAGES_CTE} select url, text as main_text from pages",
+    # gopher filters: DuckDB recomputes every signal with list functions
+    # over the same multi-line corpus construction
+    "gopher_quality":
+        "with corpus as (select doc_id, " + _gopher_text("chr(10)") + " as text "
+        "from documents), "
+        "sig as (select doc_id, "
+        " string_split(text, chr(10)) as lines, "
+        " string_split_regex(trim(text), '\\s+') as words, "
+        " length(text) - length(replace(text, '#', '')) as hashes, "
+        " (length(text) - length(replace(text, '...', ''))) / 3 as ells "
+        " from corpus), "
+        "m as (select doc_id, "
+        " cast(len(lines) as bigint) as n_lines, "
+        " cast(len(words) as bigint) as n_words, "
+        " round(1.0 - len(list_distinct(lines)) / len(lines), 6) as dup_line_frac, "
+        " round(1.0 - list_sum(list_transform(list_distinct(lines), l -> length(l))) "
+        "   / list_sum(list_transform(lines, l -> length(l))), 6) as dup_line_char_frac, "
+        " round(len(list_filter(lines, l -> substr(l, 1, 2) = '- ')) / len(lines), 6) "
+        "   as bullet_frac, "
+        " round(len(list_filter(lines, l -> right(l, 3) = '...')) / len(lines), 6) "
+        "   as ellipsis_frac, "
+        " round(list_sum(list_transform(words, w -> length(w))) / len(words), 6) "
+        "   as mean_word_len, "
+        " round((hashes + ells) / len(words), 6) as symbol_word_ratio, "
+        " cast(len(list_filter(words, t -> list_contains(['the','and','of','to','a'], t))) "
+        "   as bigint) as stop_hits "
+        " from sig) "
+        "select *, (n_words between 50 and 100000) "
+        " and mean_word_len between 3 and 10 and symbol_word_ratio < 0.1 "
+        " and bullet_frac < 0.9 and ellipsis_frac < 0.3 "
+        " and dup_line_frac < 0.3 and stop_hits >= 2 as keep from m",
 }
 
 # lang_id oracle from the same marker table

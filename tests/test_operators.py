@@ -129,3 +129,41 @@ def test_connected_components_chain_and_singletons(spark):
     assert keep[30] == (30, True)
     # one keep per cluster: chain, triangle, pair + the two singletons
     assert sum(1 for c, k in keep.values() if k) == 5
+
+
+def test_gopher_quality_signals(spark):
+    """Hand-computed Gopher/C4 signals on a fixed document."""
+    from perl_html5_dom_spark.operators.textstats import gopher_quality
+
+    text = "\n".join([
+        "the cat and the dog of a to a the end",   # 11 words, stopwords
+        "- bullet one",
+        "- bullet one",                            # duplicate line
+        "read more...",
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_quality(df, min_words=5).collect()[0]
+    assert r.n_lines == 4
+    assert r.n_words == 11 + 3 + 3 + 2
+    assert r.dup_line_frac == round(1 - 3 / 4, 6)
+    assert r.bullet_frac == 0.5
+    assert r.ellipsis_frac == 0.25
+    assert r.stop_hits == 8  # the x3 + and + of + to + a x2
+    # chars: dup line "- bullet one" (12 chars) dropped once
+    total = sum(len(l) for l in text.split("\n"))
+    dedup = total - len("- bullet one")
+    assert r.dup_line_char_frac == round(1 - dedup / total, 6)
+    assert r.mean_word_len == round(58 / 19, 6)
+    assert r.keep  # every bound satisfied (mean_word_len 3.05 >= 3)
+
+
+def test_gopher_keep_varies(spark):
+    from perl_html5_dom_spark.operators.textstats import gopher_quality
+
+    good = " ".join(["the quick brown fox jumps over the lazy dog and"] * 8)
+    listy = "\n".join(["- item"] * 20)
+    df = spark.createDataFrame(
+        [(1, good), (2, listy)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_quality(df, min_words=10).collect()}
+    assert rows[1].keep
+    assert not rows[2].keep and rows[2].bullet_frac == 1.0
