@@ -143,6 +143,28 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_norm): Unicode NFC normalization + whitespace
+    collapse — the canonicalization pass before any hashing/dedup so
+    byte-different but canonically-equal spellings (composed vs
+    combining accents) dedup together.
+
+    NFC runs as an Arrow-vectorized ``Series.str.normalize`` pandas UDF
+    (Spark has no built-in Unicode normalizer); the whitespace collapse
+    stays a JVM ``regexp_replace``.  The oracle uses DuckDB's native
+    ``nfc_normalize`` — two independent NFC implementations agreeing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(_nfc(F.col(text_col))), r"\s+", " ")
+        .alias("text_norm"))
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling polynomial hash of
     the token stream — acc = (acc * 31 + H(token)) % P — the rolling-hash

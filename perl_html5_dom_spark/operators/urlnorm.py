@@ -98,6 +98,23 @@ def dedup_by_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_urls, n_unique_paths): per-domain crawl statistics —
+    the grouping every politeness/curation policy keys on (per-domain
+    caps, domain-level quality priors).  ``parse_url`` host extraction
+    is JVM-side; one shuffle on host.  At 100 TB the host groupBy is
+    the natural partitioner (domains are the unit of skew — use the
+    existing salted repartition for megadomains)."""
+    return (
+        df.select(
+            F.expr(f"parse_url({url_col}, 'HOST')").alias("host"),
+            F.expr(f"parse_url({url_col}, 'PATH')").alias("path"))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_urls"),
+             F.countDistinct("path").cast("bigint").alias("n_unique_paths"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic messy-url relation for the correctness oracle: each doc
 # yields 4 spellings (v = variant id); the expected canonical form is

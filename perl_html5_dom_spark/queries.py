@@ -636,6 +636,39 @@ def q_gopher_quality(spark, sf_dir):
     return ts.gopher_quality(corpus)
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-domain crawl stats (urlnorm.host_stats) over a corpus whose
+    host varies by doc_id % 7 and which revisits each path twice; the
+    oracle extracts host/path with split_part string ops (independent
+    of Spark's parse_url)."""
+    _views(spark, sf_dir)
+    urls = spark.sql(
+        "select 'https://h' || cast(doc_id % 7 as string) || "
+        "'.example.org/doc/' || cast(doc_id as string) || "
+        "case when doc_id % 2 = 0 then '' else '/v' end as url "
+        "from documents "
+        "union all "
+        "select 'https://h' || cast(doc_id % 7 as string) || "
+        "'.example.org/doc/' || cast(doc_id as string) as url "
+        "from documents where doc_id % 3 = 0")
+    return un.host_stats(urls)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + whitespace collapse (textstats.normalize_text)
+    over text salted with combining sequences; Spark normalizes via
+    pandas Series.str.normalize, DuckDB via nfc_normalize — two
+    independent NFC implementations must agree byte-for-byte."""
+    _views(spark, sf_dir)
+    # e + U+0301 (utf8 cc 81) and A + U+0308 (utf8 cc 88), plus messy
+    # whitespace; NFC composes them to é / Ä
+    corpus = spark.sql(
+        "select doc_id, text || '  caf' || 'e' || decode(unhex('CC81'), 'UTF-8') "
+        "|| char(9) || ' ' || 'A' || decode(unhex('CC88'), 'UTF-8') || ' x ' "
+        "as text from documents")
+    return ts.normalize_text(corpus)
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC ingestion (the Common-Crawl wire format, sources/warc.py):
     every page makes the full trip page → WARC response record →
@@ -727,6 +760,8 @@ QUERIES = {
     "pdf_page_stats": q_pdf_page_stats,
     "warc_extract": q_warc_extract,
     "gopher_quality": q_gopher_quality,
+    "host_stats": q_host_stats,
+    "normalize_text": q_normalize_text,
 }
 
 
@@ -1118,6 +1153,33 @@ ORACLES: dict[str, str] = {
         " and mean_word_len between 3 and 10 and symbol_word_ratio < 0.1 "
         " and bullet_frac < 0.9 and ellipsis_frac < 0.3 "
         " and dup_line_frac < 0.3 and stop_hits >= 2 as keep from m",
+    # host stats: split_part host/path extraction, independent of
+    # Spark's parse_url
+    "host_stats":
+        "with urls as ("
+        " select 'https://h' || cast(doc_id % 7 as varchar) || "
+        "  '.example.org/doc/' || cast(doc_id as varchar) || "
+        "  case when doc_id % 2 = 0 then '' else '/v' end as url "
+        " from documents "
+        " union all "
+        " select 'https://h' || cast(doc_id % 7 as varchar) || "
+        "  '.example.org/doc/' || cast(doc_id as varchar) as url "
+        " from documents where doc_id % 3 = 0) "
+        "select split_part(split_part(url, '//', 2), '/', 1) as host, "
+        " cast(count(*) as bigint) as n_urls, "
+        " cast(count(distinct '/' || split_part(split_part(url, '//', 2), '/', 2) "
+        "   || case when split_part(split_part(url, '//', 2), '/', 3) <> '' "
+        "      then '/' || split_part(split_part(url, '//', 2), '/', 3) else '' end "
+        "   || case when split_part(split_part(url, '//', 2), '/', 4) <> '' "
+        "      then '/' || split_part(split_part(url, '//', 2), '/', 4) else '' end) "
+        "  as bigint) as n_unique_paths "
+        "from urls group by 1",
+    # NFC: DuckDB's native normalizer vs the pandas one
+    "normalize_text":
+        "select doc_id, regexp_replace(trim("
+        " nfc_normalize(text || '  caf' || 'e' || chr(769) || chr(9) || ' ' "
+        "  || 'A' || chr(776) || ' x ')), '\\s+', ' ', 'g') as text_norm "
+        "from documents",
 }
 
 # lang_id oracle from the same marker table

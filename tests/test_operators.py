@@ -167,3 +167,14 @@ def test_gopher_keep_varies(spark):
     rows = {r.doc_id: r for r in gopher_quality(df, min_words=10).collect()}
     assert rows[1].keep
     assert not rows[2].keep and rows[2].bullet_frac == 1.0
+
+
+def test_normalize_text_nfc(spark):
+    from perl_html5_dom_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café  \t x "), (2, "Äb")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert rows[1] == "café x"      # composed + collapsed + trimmed
+    assert rows[2] == "Äb"

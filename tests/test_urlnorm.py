@@ -24,3 +24,14 @@ def test_url_canonicalization(spark):
     }
     for url, want in cases.items():
         assert canon(spark, url) == want, url
+
+
+def test_host_stats(spark):
+    from perl_html5_dom_spark.operators.urlnorm import host_stats
+
+    df = spark.createDataFrame(
+        [("https://a.org/x",), ("https://a.org/x",), ("https://a.org/y",),
+         ("https://b.org/z",)], "url string")
+    rows = {r.host: r for r in host_stats(df).collect()}
+    assert rows["a.org"].n_urls == 3 and rows["a.org"].n_unique_paths == 2
+    assert rows["b.org"].n_urls == 1 and rows["b.org"].n_unique_paths == 1
