@@ -94,6 +94,28 @@ def main() -> None:
          "lag + running sum over (user_id, ts) windows, then one "
          "partial-agg groupBy — a single shuffle on user_id, no Python.")
 
+    from perl_html5_dom_spark.operators import textstats as ts
+    grab("Gopher/C4 quality filters: pure projection",
+         ts.gopher_quality(docs.selectExpr("doc_id", "text")),
+         "Every signal (dup-line fractions, bullet/ellipsis ratios, "
+         "word stats, keep flag) is a higher-order-function column "
+         "expression inside WholeStageCodegen — zero shuffles, zero "
+         "Python; at 100 TB this is a map-only pass.")
+
+    from perl_html5_dom_spark.operators import pdfextract as px
+    from perl_html5_dom_spark.sources import pdfs as pf
+    grab("PDF extraction kernel input narrowing",
+         px.extract_pdfs(pf.pdf_docs_df(spark, sf)),
+         "Like the HTML kernel: MapInPandas sits on a projection of "
+         "(url, pdf) only; parallelism is per-document.")
+
+    from perl_html5_dom_spark.operators import urlnorm as un
+    grab("Per-domain stats: single shuffle on host",
+         un.host_stats(pages.select("url")),
+         "parse_url host/path are codegen expressions; one partial-agg "
+         "groupBy(host) with countDistinct expanding to two exchanges "
+         "of narrow rows — the politeness/curation grouping at scale.")
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
         f.write("Generated by tools/explain_dump.py; re-run after plan "
