@@ -229,6 +229,37 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
 # SimHash
 # ---------------------------------------------------------------------------
 
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style cross-document line dedup: any line occurring in more
+    than one place in the corpus survives only at its FIRST occurrence
+    (lowest ``(doc_id, pos)``); every other copy is dropped, and each
+    document's remaining lines are reassembled in order.  This is the
+    C4 cleaning rule that strips boilerplate nav/footer lines repeated
+    across a site.
+
+    Scale shape: posexplode → ``min(struct(doc_id, pos))`` per line —
+    a *partial-aggregable* min, so a line repeated across millions of
+    pages collapses map-side instead of sorting one hot partition
+    (which is why this is NOT a row_number window); then one equi-join
+    back on the line and an ordered reassembly groupBy.  Three
+    shuffles total, all on narrow rows.
+
+    Returns (doc_id, text_dedup).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    first = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f"))
+    kept = (lines.join(first, "line")
+            .filter((F.col("doc_id") == F.col("f.doc_id"))
+                    & (F.col("pos") == F.col("f.pos"))))
+    return (kept.groupBy("doc_id")
+            .agg(F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, line))), s -> s.line), '\n') as text_dedup")))
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): weighted-token sign fingerprint.
 

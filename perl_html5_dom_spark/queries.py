@@ -636,6 +636,19 @@ def q_gopher_quality(spark, sf_dir):
     return ts.gopher_quality(corpus)
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4 cross-document line dedup (dedup.line_dedup) over a corpus
+    where every doc shares a site-header line and a per-(doc_id%5)
+    footer line; only first occurrences survive.  The oracle recomputes
+    with a row_number window + ordered string_agg in DuckDB."""
+    _views(spark, sf_dir)
+    corpus = spark.sql(
+        "select doc_id, 'shared site header' || char(10) || text || "
+        "char(10) || 'footer group ' || cast(doc_id % 5 as string) "
+        "as text from documents")
+    return dd.line_dedup(corpus)
+
+
 def q_host_stats(spark, sf_dir):
     """Per-domain crawl stats (urlnorm.host_stats) over a corpus whose
     host varies by doc_id % 7 and which revisits each path twice; the
@@ -762,6 +775,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "host_stats": q_host_stats,
     "normalize_text": q_normalize_text,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -1174,6 +1188,20 @@ ORACLES: dict[str, str] = {
         "      then '/' || split_part(split_part(url, '//', 2), '/', 4) else '' end) "
         "  as bigint) as n_unique_paths "
         "from urls group by 1",
+    # line dedup: window-based recomputation (the Spark side uses a
+    # partial-aggregable min(struct) instead — same result, skew-safe)
+    "line_dedup":
+        "with corpus as (select doc_id, 'shared site header' || chr(10) || "
+        " text || chr(10) || 'footer group ' || cast(doc_id % 5 as varchar) "
+        " as text from documents), "
+        "lines as (select doc_id, i - 1 as pos, l[i] as line from "
+        " (select doc_id, string_split(text, chr(10)) as l from corpus), "
+        " unnest(generate_series(1, len(l))) as t(i)), "
+        "kept as (select doc_id, pos, line from "
+        " (select *, row_number() over (partition by line "
+        "  order by doc_id, pos) as rk from lines) where rk = 1) "
+        "select doc_id, string_agg(line, chr(10) order by pos) as text_dedup "
+        "from kept group by doc_id",
     # NFC: DuckDB's native normalizer vs the pandas one
     "normalize_text":
         "select doc_id, regexp_replace(trim("

@@ -178,3 +178,23 @@ def test_normalize_text_nfc(spark):
     rows = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
     assert rows[1] == "café x"      # composed + collapsed + trimmed
     assert rows[2] == "Äb"
+
+
+def test_line_dedup_first_occurrence(spark):
+    from perl_html5_dom_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "header\nalpha\nfooter"),
+        (2, "header\nbeta\nfooter"),
+        (3, "header\nbeta\ngamma"),   # 'beta' already seen in doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_dedup for r in line_dedup(df).collect()}
+    assert out[1] == "header\nalpha\nfooter"   # first occurrences all kept
+    assert out[2] == "beta"                    # header+footer seen in doc 1
+    assert out[3] == "gamma"
+    # a doc whose lines are ALL boilerplate disappears (C4 semantics)
+    df2 = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny")], "doc_id long, text string")
+    out2 = {r.doc_id: r.text_dedup for r in line_dedup(df2).collect()}
+    assert out2 == {1: "x\ny"}
