@@ -147,12 +147,15 @@ def css_at(df, selector: str):
 
 
 def css_extract(df, selector: str, what: str = "text"):
-    """Per-match scalar extraction: text | html | inner_html | inner_text.
+    """Per-match scalar extraction: text | html | inner_html | inner_text
+    | attr:<name> (None when the attribute is absent).
 
     The Collection sinks of the reference (Collection.pm:117-131) —
     returns (url, node_id, ord, value)."""
     compiled = matcher.compile_selector(selector)
-    if what not in ("text", "html", "inner_html", "inner_text"):
+    attr_name = what[5:] if what.startswith("attr:") else None
+    if attr_name is None and what not in (
+            "text", "html", "inner_html", "inner_text"):
         raise ValueError(what)
 
     def run(batches: Iterable) -> Iterator:
@@ -168,7 +171,10 @@ def css_extract(df, selector: str, what: str = "text"):
                 doc = parse_document(html)
                 pos = doc.order_pos
                 for nid in matcher.find(doc, compiled):
-                    if what == "text":
+                    if attr_name is not None:
+                        a = doc.attrs[nid]
+                        v = a.get(attr_name) if a else None
+                    elif what == "text":
                         v = serializer.text_content(doc, nid)
                     elif what == "html":
                         v = serializer.serialize(doc, nid)

@@ -636,6 +636,32 @@ def q_gopher_quality(spark, sf_dir):
     return ts.gopher_quality(corpus)
 
 
+_ROBOTS_CASE = (
+    "case {m} when 1 then 'noindex' when 2 then 'noindex, nofollow' "
+    "when 3 then 'all' end")
+
+
+def q_robots_meta(spark, sf_dir):
+    """Robots-meta indexability extraction: the css_extract attr sink
+    pulls meta[name=robots]/@content per page; indexable = content does
+    not contain 'noindex'.  doc_id % 4 == 0 pages carry no robots meta
+    and emit no row."""
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    meta = ("case doc_id % 4 when 0 then '' else "
+            "'<meta name=\"robots\" content=\"' || "
+            + _ROBOTS_CASE.format(m="doc_id % 4") + " || '\">' end")
+    pages = spark.sql(
+        f"select 'https://example.org/robots/' || cast(doc_id as string) as url, "
+        f"encode('<!DOCTYPE html><html><head>' || {meta} || "
+        f"'<title>R</title></head><body><p>' || text || '</p></body></html>', "
+        f"'utf-8') as html from __docs_src")
+    hits = so.css_extract(pages, 'meta[name="robots"]', what="attr:content")
+    return hits.selectExpr(
+        "url", "value as robots",
+        "not contains(value, 'noindex') as indexable")
+
+
 def q_line_dedup(spark, sf_dir):
     """C4 cross-document line dedup (dedup.line_dedup) over a corpus
     where every doc shares a site-header line and a per-(doc_id%5)
@@ -776,6 +802,7 @@ QUERIES = {
     "host_stats": q_host_stats,
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
+    "robots_meta": q_robots_meta,
 }
 
 
@@ -1188,6 +1215,11 @@ ORACLES: dict[str, str] = {
         "      then '/' || split_part(split_part(url, '//', 2), '/', 4) else '' end) "
         "  as bigint) as n_unique_paths "
         "from urls group by 1",
+    # robots meta: arithmetic expected values per doc_id % 4
+    "robots_meta":
+        "select 'https://example.org/robots/' || cast(doc_id as varchar) as url, "
+        + _ROBOTS_CASE.format(m="doc_id % 4") + " as robots, "
+        "doc_id % 4 = 3 as indexable from documents where doc_id % 4 <> 0",
     # line dedup: window-based recomputation (the Spark side uses a
     # partial-aggregable min(struct) instead — same result, skew-safe)
     "line_dedup":

@@ -185,3 +185,16 @@ def test_nodes_column_pruning(spark, pages):
     assert slim.columns == ["url", "node_id", "parent_id", "tag"]
     full = nodes_df(pages.limit(5), elements_only=True)
     assert slim.count() == full.count()
+
+
+def test_css_extract_attr_sink(spark):
+    from perl_html5_dom_spark.operators.selector_ops import css_extract
+
+    rows = [("u1", b'<a href="/x" title="T">l</a><a>no-href</a>')]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = css_extract(df, "a", what="attr:href").collect()
+    assert [r.value for r in sorted(got, key=lambda r: r.ord)] == ["/x", None]
+    # unknown sink still rejected
+    import pytest
+    with pytest.raises(ValueError):
+        css_extract(df, "a", what="bogus")
