@@ -217,6 +217,33 @@ def roundtrip_df(df):
         run, schema="url string, html binary")
 
 
+def _pages_kernel(batches):
+    """Arrow kernel shared by the batch and streaming WARC sources:
+    (content binary) batches → one row per ``response`` record."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"url": [], "warc_ts": [], "html": []}
+        for content in pdf["content"]:
+            for rec in iter_warc_records(bytes(content)):
+                if rec["warc_type"] != "response":
+                    continue
+                out["url"].append(rec["target_uri"])
+                out["warc_ts"].append(rec["date"])
+                out["html"].append(rec["payload"])
+        yield pd.DataFrame(out)
+
+
+_PAGES_KERNEL_SCHEMA = "url string, warc_ts string, html binary"
+
+
+def _finish_pages(df):
+    return df.selectExpr(
+        "url",
+        "to_timestamp(replace(replace(warc_ts, 'T', ' '), 'Z', '')) as warc_ts",
+        "html")
+
+
 def warc_pages_df(spark, path: str):
     """``*.warc[.gz]`` files → DataFrame(url, warc_ts, html binary).
 
@@ -224,24 +251,24 @@ def warc_pages_df(spark, path: str):
     members and emits one row per ``response`` record.  Parallelism =
     file count (CC segments a crawl into tens of thousands of files)."""
     files = spark.read.format("binaryFile").load(path)
+    return _finish_pages(files.select("content").mapInPandas(
+        _pages_kernel, schema=_PAGES_KERNEL_SCHEMA))
 
-    def run(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            out = {"url": [], "warc_ts": [], "html": []}
-            for content in pdf["content"]:
-                for rec in iter_warc_records(bytes(content)):
-                    if rec["warc_type"] != "response":
-                        continue
-                    out["url"].append(rec["target_uri"])
-                    out["warc_ts"].append(rec["date"])
-                    out["html"].append(rec["payload"])
-            yield pd.DataFrame(out)
-
-    df = files.select("content").mapInPandas(
-        run, schema="url string, warc_ts string, html binary")
-    return df.selectExpr(
-        "url",
-        "to_timestamp(replace(replace(warc_ts, 'T', ' '), 'Z', '')) as warc_ts",
-        "html")
+def read_warc_stream(spark, path: str, max_files_per_trigger: int = 4):
+    """Streaming twin of :func:`warc_pages_df`: ``readStream`` over
+    ``binaryFile`` (a streaming-capable file source since Spark 3.x) so
+    WARC files landing in a crawl drop-box flow through the SAME Arrow
+    kernel — one micro-batch per trigger, exactly-once via the sink's
+    checkpoint/commit log.  At CC scale ``maxFilesPerTrigger`` bounds a
+    micro-batch to files × ~1 GB, keeping executor memory flat."""
+    # binaryFile's schema is fixed by the format, but the streaming
+    # reader requires it to be stated explicitly
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .option("pathGlobFilter", "*.warc*")
+             .load(path))
+    return _finish_pages(files.select("content").mapInPandas(
+        _pages_kernel, schema=_PAGES_KERNEL_SCHEMA))

@@ -47,3 +47,26 @@ def start_extraction(spark: SparkSession, input_dir: str, output_dir: str,
     if trigger_once:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def start_warc_extraction(spark: SparkSession, warc_dir: str, output_dir: str,
+                          checkpoint_dir: str, trigger_once: bool = True,
+                          max_files_per_trigger: int = 4):
+    """Wire-format streaming pipeline: ``*.warc[.gz]`` files landing in
+    ``warc_dir`` → WARC record kernel → HTML extraction kernel →
+    parquet sink.  Both kernels are the exact batch code paths
+    (mapInPandas is stream-transparent); restart-safety comes from the
+    file source offsets + sink commit log under ``checkpoint_dir``."""
+    from ..sources.warc import read_warc_stream
+
+    pages = read_warc_stream(spark, warc_dir,
+                             max_files_per_trigger=max_files_per_trigger)
+    q = (
+        extract_stream(pages)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()

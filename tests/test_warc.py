@@ -125,3 +125,36 @@ def test_spark_roundtrip_matches_direct(spark):
         roundtrip_df(pages), span_selector=None,
         fields=["url", "main_text"]).collect()}
     assert direct == viawarc
+
+
+def test_streaming_warc_extraction(spark, tmp_path):
+    """Streaming twin parity: the same .warc.gz files produce the same
+    extraction rows through readStream as through the batch source, and
+    a restart with the same checkpoint is a no-op (exactly-once)."""
+    from perl_html5_dom_spark.streaming.ingest import start_warc_extraction
+
+    warc_dir = tmp_path / "drop"
+    warc_dir.mkdir()
+    for fi, n in ((0, 5), (1, 4)):
+        recs = [build_response_record(
+            f"https://crawl.example/s/{fi}/{i}",
+            f"<html><body><main><article><h1>S{fi}{i}</h1>"
+            f"<p>stream {fi}{i}</p></article></main></body></html>".encode(),
+            date="2025-02-03T04:05:06Z")
+            for i in range(n)]
+        (warc_dir / f"seg-{fi}.warc.gz").write_bytes(build_warc(recs))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_warc_extraction(spark, str(warc_dir), out, ckpt,
+                              max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    texts = {r.url: r.main_text for r in
+             got.select("url", "main_text").collect()}
+    assert texts["https://crawl.example/s/1/3"] == "stream 13"
+
+    # restart against the same checkpoint: no new files -> no new rows
+    q2 = start_warc_extraction(spark, str(warc_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 9
