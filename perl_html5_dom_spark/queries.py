@@ -17,11 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from .operators import contamination as cn
 from .operators import dedup as dd
 from .operators import events as ev
 from .operators import extract as ex
 from .operators import nodes as nd
 from .operators import pdfextract as px
+from .operators import pii as pi
 from .operators import selector_ops as so
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -735,6 +737,42 @@ def q_pdf_page_stats(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (contamination.ngram_overlap): 5-gram
+    overlap between documents and a deterministic synthetic eval set
+    (every 17th doc donates a 12-token slice).  Bench n-grams broadcast;
+    only hit pairs shuffle."""
+    _views(spark, sf_dir)
+    bench = spark.sql(cn.bench_items_sql(cn.SPARK, "documents"))
+    return cn.ngram_overlap(spark.table("documents"), bench,
+                            n=5, threshold=0.5)
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram statistics: top-100 bigrams by document frequency,
+    total-ordered (df desc, ngram) so the cut is deterministic."""
+    _views(spark, sf_dir)
+    return cn.top_ngrams(spark.table("documents"), n=2, k=100)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection counts (pii.pii_scan) over a corpus with
+    arithmetically-injected emails/IPv4s/phones; pure codegen'd
+    regexp_extract_all, zero shuffle."""
+    _views(spark, sf_dir)
+    messy = spark.sql(pi.pii_messy_sql(pi.SPARK, "documents"))
+    return pi.pii_scan(messy)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (pii.pii_redact): all-occurrence regexp_replace
+    chain; result keyed by redacted-text digest so two independent
+    regex engines must agree byte-for-byte."""
+    _views(spark, sf_dir)
+    messy = spark.sql(pi.pii_messy_sql(pi.SPARK, "documents"))
+    return pi.pii_redact(messy)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -803,6 +841,10 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "line_dedup": q_line_dedup,
     "robots_meta": q_robots_meta,
+    "contamination": q_contamination,
+    "top_ngrams": q_top_ngrams,
+    "pii_scan": q_pii_scan,
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -1315,4 +1357,40 @@ ORACLES["quality_scores"] = (
     " + (case when avg_token_len between 2 and 12 then 0.25 else 0.0 end) "
     " + least(stopword_ratio * 5.0, 1.0) * 0.25 "
     " + alpha_ratio * 0.25) * 1000000 + 0.5) / 1000000 as quality from r"
+)
+
+
+_DUCK_SH5 = cn.duck_shingles_sql(5, "documents")
+_DUCK_BENCH_SH5 = cn.duck_shingles_sql(
+    5, "(select bench_id as doc_id, bench_text as text from bench)")
+
+ORACLES["contamination"] = (
+    f"with bench as ({cn.bench_items_sql(cn.DUCK, 'documents')}), "
+    f"bsh as (select doc_id as bench_id, {_DH.format(s='shingle')} as h "
+    f" from ({_DUCK_BENCH_SH5})), "
+    "bsizes as (select bench_id, count(*) as bench_ngrams from bsh group by 1), "
+    f"dsh as (select doc_id, {_DH.format(s='shingle')} as h from ({_DUCK_SH5})), "
+    "hits as (select doc_id, bench_id, count(*) as overlap "
+    " from dsh join bsh using (h) group by 1, 2) "
+    "select doc_id, bench_id, cast(overlap as bigint) as overlap, "
+    "cast(bench_ngrams as bigint) as bench_ngrams, "
+    "round(overlap / bench_ngrams, 6) as overlap_frac, "
+    "overlap / bench_ngrams >= 0.5 as contaminated "
+    "from hits join bsizes using (bench_id)"
+)
+
+ORACLES["top_ngrams"] = (
+    f"select shingle as ngram, cast(count(*) as bigint) as df "
+    f"from ({cn.duck_shingles_sql(2, 'documents')}) "
+    "group by 1 order by df desc, ngram limit 100"
+)
+
+ORACLES["pii_scan"] = (
+    f"with messy as ({pi.pii_messy_sql(pi.DUCK, 'documents')}) "
+    + pi.pii_scan_sql(pi.DUCK, "messy")
+)
+
+ORACLES["pii_redact"] = (
+    f"with messy as ({pi.pii_messy_sql(pi.DUCK, 'documents')}) "
+    + pi.pii_redact_sql(pi.DUCK, "messy")
 )
