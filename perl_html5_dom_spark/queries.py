@@ -22,6 +22,7 @@ from .operators import dedup as dd
 from .operators import events as ev
 from .operators import extract as ex
 from .operators import nodes as nd
+from .operators import linkgraph as lg
 from .operators import pdfextract as px
 from .operators import pii as pi
 from .operators import selector_ops as so
@@ -773,6 +774,21 @@ def q_pii_redact(spark, sf_dir):
     return pi.pii_redact(messy)
 
 
+def q_link_degrees(spark, sf_dir):
+    """Link-graph degrees (linkgraph.degrees) over the deterministic
+    synthetic crawl graph; two partial-agg groupBys + one outer join."""
+    _views(spark, sf_dir)
+    return lg.degrees(spark.sql(lg.demo_edges_sql("documents")))
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank, 5 damped power iterations in one
+    declarative plan; bit-for-bit reproducible in DuckDB because every
+    step is integer floor arithmetic (linkgraph.pagerank docstring)."""
+    _views(spark, sf_dir)
+    return lg.pagerank(spark.sql(lg.demo_edges_sql("documents")), iters=5)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -845,6 +861,8 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "pii_scan": q_pii_scan,
     "pii_redact": q_pii_redact,
+    "link_degrees": q_link_degrees,
+    "pagerank": q_pagerank,
 }
 
 
@@ -1394,3 +1412,18 @@ ORACLES["pii_redact"] = (
     f"with messy as ({pi.pii_messy_sql(pi.DUCK, 'documents')}) "
     + pi.pii_redact_sql(pi.DUCK, "messy")
 )
+
+
+ORACLES["link_degrees"] = (
+    f"with e as (select distinct src, dst from ({lg.demo_edges_sql('documents')})), "
+    "od as (select src as node, count(*) as out_deg from e group by 1), "
+    "ind as (select dst as node, count(*) as in_deg from e group by 1) "
+    "select coalesce(od.node, ind.node) as node, "
+    "cast(coalesce(out_deg, 0) as bigint) as out_deg, "
+    "cast(coalesce(in_deg, 0) as bigint) as in_deg, "
+    "coalesce(out_deg, 0) = 0 as dangling "
+    "from od full outer join ind on od.node = ind.node"
+)
+
+ORACLES["pagerank"] = lg.pagerank_oracle_sql(
+    lg.demo_edges_sql("documents"), iters=5)
