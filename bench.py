@@ -155,6 +155,20 @@ def main() -> None:
     _corpus_path = None
     bench("dedup_minhash", lambda: dedup.minhash_near_dups(_corpus(), 0.5).count())
     bench("dedup_simhash", lambda: dedup.simhash_near_dups(_corpus(), 3).count())
+    # q5b: decontamination — bench n-grams broadcast, hit pairs shuffle
+    from perl_html5_dom_spark.operators import contamination as cnt
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_t.createOrReplaceTempView("documents")
+    bench("contamination", lambda: cnt.ngram_overlap(
+        docs_t, spark.sql(cnt.bench_items_sql(cnt.SPARK, "documents")),
+        n=5).count())
+    # q5c: PII redaction — pure whole-stage-codegen regex, zero shuffle
+    from perl_html5_dom_spark.operators import pii as pii_ops
+    bench("pii_redact", lambda: pii_ops.pii_redact(docs_t).count())
+    # q5d: PageRank, 5 integer power iterations on the synthetic graph
+    from perl_html5_dom_spark.operators import linkgraph as lgr
+    bench("pagerank", lambda: lgr.pagerank(
+        spark.sql(lgr.demo_edges_sql("documents")), iters=5).count())
     # q6: ANN top-k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bench("ann_topk", lambda: similarity.brute_force_topk(

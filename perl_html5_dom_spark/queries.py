@@ -789,6 +789,34 @@ def q_pagerank(spark, sf_dir):
     return lg.pagerank(spark.sql(lg.demo_edges_sql("documents")), iters=5)
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap ingestion through the HTML kernel: sitemap.xml is not
+    HTML, but the WHATWG parser handles it the way browsers do (unknown
+    elements nest as written, the <?xml?> PI becomes a bogus comment),
+    so the same css_extract surface pulls <loc> entries for the crawl
+    frontier.  Entry order = document order via the ord column."""
+    from pyspark.sql import Window
+
+    _views(spark, sf_dir)
+    entry_xml = (
+        "'<url><loc>https://s' || cast(doc_id as string) || '.example/p' "
+        "|| cast(i as string) || '</loc><lastmod>2025-01-' "
+        "|| lpad(cast(i % 28 + 1 as string), 2, '0') || '</lastmod></url>'")
+    pages = spark.sql(
+        "select 'https://s' || cast(doc_id as string) || "
+        "'.example/sitemap.xml' as url, "
+        "encode('<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>' || "
+        f"array_join(transform(sequence(0, doc_id % 5 + 1), i -> {entry_xml}), '') "
+        "|| '</urlset>', 'utf-8') as html "
+        "from documents where doc_id % 10 = 0")
+    locs = so.css_extract(pages, "url > loc", what="text")
+    w = Window.partitionBy("url").orderBy("ord")
+    return locs.select(
+        "url",
+        F.row_number().over(w).cast("bigint").alias("entry"),
+        F.col("value").alias("loc"))
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -863,6 +891,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "link_degrees": q_link_degrees,
     "pagerank": q_pagerank,
+    "sitemap_urls": q_sitemap_urls,
 }
 
 
@@ -1427,3 +1456,14 @@ ORACLES["link_degrees"] = (
 
 ORACLES["pagerank"] = lg.pagerank_oracle_sql(
     lg.demo_edges_sql("documents"), iters=5)
+
+
+ORACLES["sitemap_urls"] = (
+    "select 'https://s' || cast(doc_id as varchar) || "
+    "'.example/sitemap.xml' as url, "
+    "cast(i + 1 as bigint) as entry, "
+    "'https://s' || cast(doc_id as varchar) || '.example/p' || "
+    "cast(i as varchar) as loc "
+    "from documents, unnest(generate_series(0, doc_id % 5 + 1)) t(i) "
+    "where doc_id % 10 = 0"
+)

@@ -198,3 +198,25 @@ def test_line_dedup_first_occurrence(spark):
         [(1, "x\ny"), (2, "x\ny")], "doc_id long, text string")
     out2 = {r.doc_id: r.text_dedup for r in line_dedup(df2).collect()}
     assert out2 == {1: "x\ny"}
+
+
+def test_sitemap_xml_through_html_kernel(spark):
+    """Sitemap XML parses browser-style: unknown elements nest as
+    written, the <?xml?> PI becomes a bogus comment, and css_extract
+    pulls <loc> entries in document order."""
+    from perl_html5_dom_spark.operators.selector_ops import css_extract
+
+    xml = ('<?xml version="1.0" encoding="UTF-8"?>'
+           '<urlset><url><loc>https://a.example/p0</loc>'
+           '<lastmod>2025-01-01</lastmod></url>'
+           '<url><loc>https://a.example/p1</loc></url></urlset>')
+    pages = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", xml.encode())],
+        "url string, html binary")
+    rows = sorted(css_extract(pages, "url > loc", what="text").collect(),
+                  key=lambda r: r.ord)
+    assert [r.value for r in rows] == [
+        "https://a.example/p0", "https://a.example/p1"]
+    # lastmod is a sibling, not matched by the child selector
+    lm = css_extract(pages, "urlset lastmod", what="text").collect()
+    assert [r.value for r in lm] == ["2025-01-01"]

@@ -116,6 +116,31 @@ def main() -> None:
          "groupBy(host) with countDistinct expanding to two exchanges "
          "of narrow rows — the politeness/curation grouping at scale.")
 
+    from perl_html5_dom_spark.operators import contamination as cn
+    docs.createOrReplaceTempView("documents")
+    grab("Decontamination: bench n-grams broadcast",
+         cn.ngram_overlap(
+             docs.selectExpr("doc_id", "text"),
+             spark.sql(cn.bench_items_sql(cn.SPARK, "documents")), n=5),
+         "Both bench-side relations (hashed n-grams, per-item sizes) are "
+         "BroadcastExchange; the 100 TB document scan is matched map-side "
+         "and only (doc_id, bench_id) hit pairs reach an exchange.")
+
+    from perl_html5_dom_spark.operators import pii
+    grab("PII scan: zero-shuffle codegen projection",
+         pii.pii_scan(docs.selectExpr("doc_id", "text")),
+         "regexp_extract_all counts are one WholeStageCodegen projection "
+         "— no Exchange anywhere in the plan; cost at scale == the scan.")
+
+    from perl_html5_dom_spark.operators import linkgraph as lgr
+    grab("PageRank iteration step: narrow shuffles only",
+         lgr.pagerank(spark.sql(lgr.demo_edges_sql("documents")),
+                      iters=1, materialize_every=0),
+         "One iteration = join ranks (narrow) to edges on src, shuffle "
+         "(dst, contrib) pairs, broadcast the 1-row dangling mass; "
+         "edges repartitioned once on src and reused; iterations "
+         "checkpoint to keep the plan linear.")
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
         f.write("Generated by tools/explain_dump.py; re-run after plan "
