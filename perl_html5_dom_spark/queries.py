@@ -25,6 +25,7 @@ from .operators import nodes as nd
 from .operators import linkgraph as lg
 from .operators import pdfextract as px
 from .operators import pii as pi
+from .operators import robots as rb
 from .operators import selector_ops as so
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -817,6 +818,43 @@ def q_sitemap_urls(spark, sf_dir):
         F.col("value").alias("loc"))
 
 
+#: synthetic robots corpus: 7 hosts, a '*' group with nested
+#: allow-inside-disallow prefixes + a per-host rule, and a badbot group
+#: that must NOT leak into '*' matching.  {nl} = newline per dialect.
+def _robots_corpus_sql(nl: str) -> str:
+    return (
+        "select 'h' || cast(h as string) || '.example.org' as host, "
+        f"'User-agent: *' || {nl} || 'Disallow: /private' || {nl} || "
+        f"'Allow: /private/ok' || {nl} || "
+        f"'Disallow: /tmp' || cast(h as string) || {nl} || "
+        f"'User-agent: badbot' || {nl} || 'Disallow: /' as robots_txt "
+        "from (select distinct doc_id % 7 as h from documents)"
+    )
+
+
+_ROBOTS_URLS_SQL = (
+    "select 'https://h' || cast(doc_id % 7 as string) || '.example.org' "
+    "|| p as url, "
+    "'h' || cast(doc_id % 7 as string) || '.example.org' as host, "
+    "p as path from (select doc_id, case doc_id % 5 "
+    "when 0 then '/private/x' || cast(doc_id as string) "
+    "when 1 then '/private/ok/y' "
+    "when 2 then '/public/z' "
+    "when 3 then '/tmp' || cast(doc_id % 7 as string) || '/a' "
+    "else '/' end as p from documents)"
+)
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance (operators/robots.py): parse rule groups
+    with a running last-agent window, admit URLs by longest-prefix with
+    Allow winning ties; rules broadcast, matching map-side."""
+    _views(spark, sf_dir)
+    rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)")))
+    urls = spark.sql(_ROBOTS_URLS_SQL)
+    return rb.robots_filter(urls, rules)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -892,6 +930,7 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank": q_pagerank,
     "sitemap_urls": q_sitemap_urls,
+    "robots_filter": q_robots_filter,
 }
 
 
@@ -1466,4 +1505,12 @@ ORACLES["sitemap_urls"] = (
     "cast(i as varchar) as loc "
     "from documents, unnest(generate_series(0, doc_id % 5 + 1)) t(i) "
     "where doc_id % 10 = 0"
+)
+
+
+ORACLES["robots_filter"] = (
+    f"with robots as ({_robots_corpus_sql('chr(10)')}), "
+    f"rules as ({rb.parse_robots_sql(rb.DUCK, 'robots')}), "
+    f"urls as ({_ROBOTS_URLS_SQL}) "
+    f"select * from ({rb.match_sql(rb.DUCK, 'urls', 'rules')})"
 )
