@@ -175,3 +175,61 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         f"aggregate({toks}, 0L, (acc, t) -> (acc * 31 + ({H('t')} % {P})) % {P}) "
         "as fingerprint",
     )
+
+
+def corpus_split(docs: DataFrame, weights: dict[str, int] | None = None,
+                 key_col: str = "text") -> DataFrame:
+    """(doc_id, bucket, split): deterministic content-keyed train/val/
+    test assignment.  The bucket is H(md5('split:' || text)) % 100, so
+    the assignment is (a) reproducible across runs and engines, (b)
+    stable under re-crawls and doc_id renumbering, and (c) leak-safe
+    for exact duplicates — identical text always lands in the same
+    split, so a test document can never have a byte-identical twin in
+    train.  Pure projection: zero shuffle, cost == the scan."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    assert sum(weights.values()) == 100
+    cum, case = 0, "case "
+    for name, w in weights.items():
+        cum += w
+        case += f"when bucket < {cum} then '{name}' "
+    case += "end"
+    keyed = "'split:' || " + key_col
+    return docs.selectExpr(
+        "doc_id",
+        f"cast({H(keyed)} % 100 as bigint) as bucket",
+    ).selectExpr("doc_id", "bucket", f"{case} as split")
+
+
+def distinctive_terms(docs: DataFrame, k: int = 3,
+                      min_len: int = 1) -> DataFrame:
+    """(doc_id, term, tf, df, rk): the k most distinctive terms per
+    document — ranked by term frequency desc, document frequency asc
+    (rarer-in-corpus wins ties), term asc.  The integer-only tf-idf
+    analog: the float idf log moves across engines/libms, the integer
+    (tf desc, df asc) order does not, and it produces the same ranking
+    whenever tf ties are broken by rarity.
+
+    Plan shape: one explode feeds BOTH aggregates (tf over (doc, term),
+    df over term — partial-agg each); the df join keys on term and the
+    top-k window partitions by doc_id.  At web scale the df relation is
+    the corpus vocabulary — big enough that the equi-join (not a
+    broadcast) is the right default; AQE will broadcast it when small.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr()
+    terms = docs.selectExpr(
+        "doc_id", f"explode({toks}) as term").where(
+        f"length(term) >= {min_len}")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    df_rel = (terms.select("doc_id", "term").distinct()
+              .groupBy("term").agg(F.count("*").cast("bigint").alias("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df_rel, "term")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )

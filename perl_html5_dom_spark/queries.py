@@ -855,6 +855,22 @@ def q_robots_filter(spark, sf_dir):
     return rb.robots_filter(urls, rules)
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic content-keyed train/val/test assignment
+    (textstats.corpus_split): md5-bucketed, leak-safe for exact dups,
+    zero shuffle."""
+    _views(spark, sf_dir)
+    return ts.corpus_split(spark.table("documents"))
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Integer tf-idf analog (textstats.distinctive_terms): top-3 terms
+    per doc by (tf desc, df asc, term) — float-free so both engines
+    rank identically."""
+    _views(spark, sf_dir)
+    return ts.distinctive_terms(spark.table("documents"), k=3)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -931,6 +947,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "sitemap_urls": q_sitemap_urls,
     "robots_filter": q_robots_filter,
+    "corpus_split": q_corpus_split,
+    "distinctive_terms": q_distinctive_terms,
 }
 
 
@@ -1513,4 +1531,27 @@ ORACLES["robots_filter"] = (
     f"rules as ({rb.parse_robots_sql(rb.DUCK, 'robots')}), "
     f"urls as ({_ROBOTS_URLS_SQL}) "
     f"select * from ({rb.match_sql(rb.DUCK, 'urls', 'rules')})"
+)
+
+
+ORACLES["corpus_split"] = (
+    f"with b as (select doc_id, {_DH.format(s=chr(39) + 'split:' + chr(39) + ' || text')} % 100 "
+    "as bucket from documents) "
+    "select doc_id, cast(bucket as bigint) as bucket, "
+    "case when bucket < 98 then 'train' when bucket < 99 then 'val' "
+    "else 'test' end as split from b"
+)
+
+ORACLES["distinctive_terms"] = (
+    "with terms as (select doc_id, unnest(string_split(text, ' ')) as term "
+    " from documents), "
+    "tf as (select doc_id, term, count(*) as tf from terms group by 1, 2), "
+    "dfr as (select term, count(*) as df from "
+    " (select distinct doc_id, term from terms) group by 1), "
+    "rk as (select doc_id, term, tf, df, row_number() over "
+    " (partition by doc_id order by tf desc, df asc, term asc) as rk "
+    " from tf join dfr using (term)) "
+    "select doc_id, term, cast(tf as bigint) as tf, "
+    "cast(df as bigint) as df, cast(rk as bigint) as rk "
+    "from rk where rk <= 3"
 )

@@ -10,7 +10,7 @@ streaming DataFrames); exactly-once lands on the sink's commit log.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.extract import extract_pages
 
@@ -47,6 +47,30 @@ def start_extraction(spark: SparkSession, input_dir: str, output_dir: str,
     if trigger_once:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def dedup_stream(stream: DataFrame, key_col: str = "text",
+                 within: str | None = None,
+                 ts_col: str = "warc_ts") -> DataFrame:
+    """Exact dedup-on-ingest: drop rows whose ``key_col`` digest was
+    already seen in ANY earlier micro-batch (state survives restarts
+    via the checkpoint).  The standard first dedup stage of a streaming
+    crawl pipeline — dedup at ingest is far cheaper than dedup of the
+    accumulated corpus.
+
+    State growth: unbounded by default (one digest per distinct
+    document, exactly like the batch operator's shuffle).  Pass
+    ``within`` (e.g. ``"7 days"``) to bound state with a watermark on
+    ``ts_col`` — then only duplicates arriving within the window are
+    dropped (dropDuplicatesWithinWatermark), which is the 100 TB
+    deployment shape: bounded state + a periodic batch sweep."""
+    df = stream.withColumn("_digest", F.md5(F.col(key_col).cast("string")))
+    if within is not None:
+        df = (df.withWatermark(ts_col, within)
+              .dropDuplicatesWithinWatermark(["_digest"]))
+    else:
+        df = df.dropDuplicates(["_digest"])
+    return df.drop("_digest")
 
 
 def start_warc_extraction(spark: SparkSession, warc_dir: str, output_dir: str,

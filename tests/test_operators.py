@@ -220,3 +220,36 @@ def test_sitemap_xml_through_html_kernel(spark):
     # lastmod is a sibling, not matched by the child selector
     lm = css_extract(pages, "urlset lastmod", what="text").collect()
     assert [r.value for r in lm] == ["2025-01-01"]
+
+
+def test_corpus_split_deterministic_and_leak_safe(spark):
+    from perl_html5_dom_spark.operators.textstats import corpus_split
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in corpus_split(docs).collect()}
+    # identical text -> identical split, regardless of doc_id
+    assert out[1].split == out[2].split
+    assert out[1].bucket == out[2].bucket
+    assert 0 <= out[3].bucket < 100
+    # custom weights route through the same buckets
+    half = {r.doc_id: r.split for r in corpus_split(
+        docs, {"a": 50, "b": 50}).collect()}
+    assert set(half.values()) <= {"a", "b"}
+
+
+def test_distinctive_terms_ranking(spark):
+    from perl_html5_dom_spark.operators.textstats import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [(1, "x x x common rare"), (2, "common y"), (3, "common z")],
+        "doc_id bigint, text string")
+    out = {(r.doc_id, r.rk): r for r in
+           distinctive_terms(docs, k=2).collect()}
+    # doc 1: 'x' wins on tf=3; tie at tf=1 between common(df=3) and
+    # rare(df=1) -> rare wins on smaller df
+    assert out[(1, 1)].term == "x" and out[(1, 1)].tf == 3
+    assert out[(1, 2)].term == "rare" and out[(1, 2)].df == 1
+    # doc 2: tf tie between common and y -> y (df=1) beats common (df=3)
+    assert out[(2, 1)].term == "y"

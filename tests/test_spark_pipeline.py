@@ -198,3 +198,63 @@ def test_css_extract_attr_sink(spark):
     import pytest
     with pytest.raises(ValueError):
         css_extract(df, "a", what="bogus")
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dedup_stream drops cross-micro-batch exact duplicates and the
+    state survives a restart from the same checkpoint."""
+    import datetime
+
+    from perl_html5_dom_spark.streaming.ingest import dedup_stream
+
+    ts = datetime.datetime(2025, 1, 1)
+    schema = "doc_id bigint, warc_ts timestamp, text string"
+    b1 = spark.createDataFrame(
+        [(1, ts, "alpha"), (2, ts, "beta"), (3, ts, "alpha")], schema)
+    b2 = spark.createDataFrame(
+        [(4, ts, "beta"), (5, ts, "gamma")], schema)
+    src = tmp_path / "in"
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        q = (dedup_stream(stream).writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r.text for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got1 == {"alpha", "beta"}        # in-batch dup dropped
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    run()                                    # restart, same checkpoint
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 3                  # 'beta' dup from b1 dropped
+    assert {r.text for r in out.collect()} == {"alpha", "beta", "gamma"}
+
+
+def test_streaming_dedup_with_watermark_bound(spark, tmp_path):
+    """the within= variant compiles to dropDuplicatesWithinWatermark
+    (bounded state) and still removes in-window duplicates."""
+    import datetime
+
+    from perl_html5_dom_spark.streaming.ingest import dedup_stream
+
+    ts = datetime.datetime(2025, 1, 1)
+    schema = "doc_id bigint, warc_ts timestamp, text string"
+    spark.createDataFrame(
+        [(1, ts, "a"), (2, ts, "a"), (3, ts, "b")], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(tmp_path / "in" / "*")))
+    q = (dedup_stream(stream, within="2 days")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {r.text for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()} == {"a", "b"}
