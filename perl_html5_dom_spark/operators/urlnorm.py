@@ -148,3 +148,24 @@ def expected_canonical_expr(dialect: str) -> str:
         f"|| '?id=' || {n} "
         f"else 'https://example.org/doc/' || {n} end"
     )
+
+
+def latest_snapshot(df: DataFrame, key_cols: tuple = ("url",),
+                    ts_col: str = "warc_ts") -> DataFrame:
+    """Incremental crawl merge: keep the newest capture per key.
+
+    A recrawl sees every URL many times; the corpus a pipeline trains
+    on is "latest capture wins".  Formulated as ONE partial-aggregable
+    ``max(struct(ts, rest...))`` groupBy — duplicate captures combine
+    map-side before the shuffle, unlike the window row_number form
+    which must shuffle every capture (same skew-safety argument as
+    dedup.line_dedup; the oracle uses the window form independently).
+    Ties on ts break by the remaining columns in order — deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    rest = [c for c in df.columns if c not in key_cols and c != ts_col]
+    agg = F.max(F.struct(ts_col, *rest)).alias("_w")
+    return (df.groupBy(*key_cols).agg(agg)
+            .select(*key_cols, "_w.*"))

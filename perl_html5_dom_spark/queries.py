@@ -871,6 +871,24 @@ def q_distinctive_terms(spark, sf_dir):
     return ts.distinctive_terms(spark.table("documents"), k=3)
 
 
+#: revisit corpus: 50 urls, each captured by every doc with the same
+#: doc_id % 50; capture time grows with doc_id, so latest = max doc_id
+_REVISITS_SQL = (
+    "select 'https://r' || cast(doc_id % 50 as string) || '.example/p' as url, "
+    "cast('2025-01-01 00:00:00' as timestamp) + "
+    "make_interval(0, 0, 0, 0, 0, 0, doc_id) as warc_ts, "
+    "doc_id as version from documents"
+)
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """Incremental crawl merge (urlnorm.latest_snapshot): newest capture
+    per url via one partial-agg max(struct); oracle recomputes with an
+    independent window formulation."""
+    _views(spark, sf_dir)
+    return un.latest_snapshot(spark.sql(_REVISITS_SQL))
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -949,6 +967,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "corpus_split": q_corpus_split,
     "distinctive_terms": q_distinctive_terms,
+    "latest_snapshot": q_latest_snapshot,
 }
 
 
@@ -1554,4 +1573,16 @@ ORACLES["distinctive_terms"] = (
     "select doc_id, term, cast(tf as bigint) as tf, "
     "cast(df as bigint) as df, cast(rk as bigint) as rk "
     "from rk where rk <= 3"
+)
+
+
+ORACLES["latest_snapshot"] = (
+    "with revisits as ("
+    "select 'https://r' || cast(doc_id % 50 as string) || '.example/p' as url, "
+    "cast('2025-01-01 00:00:00' as timestamp) + "
+    "to_seconds(doc_id) as warc_ts, doc_id as version from documents), "
+    "rk as (select url, warc_ts, version, row_number() over "
+    " (partition by url order by warc_ts desc, version desc) as rk "
+    " from revisits) "
+    "select url, warc_ts, version from rk where rk = 1"
 )

@@ -35,3 +35,19 @@ def test_host_stats(spark):
     rows = {r.host: r for r in host_stats(df).collect()}
     assert rows["a.org"].n_urls == 3 and rows["a.org"].n_unique_paths == 2
     assert rows["b.org"].n_urls == 1 and rows["b.org"].n_unique_paths == 1
+
+
+def test_latest_snapshot_keeps_newest_and_breaks_ties(spark):
+    import datetime
+
+    from perl_html5_dom_spark.operators.urlnorm import latest_snapshot
+
+    t = datetime.datetime(2025, 1, 1)
+    d = datetime.timedelta
+    df = spark.createDataFrame(
+        [("u1", t, 1), ("u1", t + d(hours=2), 2), ("u1", t + d(hours=1), 3),
+         ("u2", t, 4), ("u2", t, 5)],      # tie on ts -> larger version
+        "url string, warc_ts timestamp, version bigint")
+    out = {r.url: r for r in latest_snapshot(df).collect()}
+    assert out["u1"].version == 2
+    assert out["u2"].version == 5          # deterministic tie-break
