@@ -25,6 +25,12 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="iceberg reads --input as a catalog table name "
+                    "(spark.read.format('iceberg').load) — the "
+                    "production shape; needs the iceberg-spark-runtime "
+                    "jar on the cluster (not in this sandbox)")
     ap.add_argument("--synthetic", help="sf dir to synthesize pages from")
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--output", required=True)
@@ -55,7 +61,10 @@ def main() -> None:
     if args.synthetic:
         pages = pages_df(spark, args.synthetic, replicate=args.replicate)
     elif args.input:
-        pages = spark.read.parquet(args.input)
+        if args.input_format == "iceberg":
+            pages = spark.read.format("iceberg").load(args.input)
+        else:
+            pages = spark.read.parquet(args.input)
     else:
         raise SystemExit("one of --input / --synthetic is required")
 
