@@ -152,3 +152,27 @@ def test_ignore_doctype():
         "<html><head></head><body><p>x</p></body></html>"
     # no doctype seen => quirks document
     assert t.compatMode() == "BackCompat"
+
+
+def test_charref_edge_cases_pinned():
+    """Numeric/named character-reference edge rules (WHATWG 13.2.5.80):
+    out-of-range and surrogates -> U+FFFD, C1 -> windows-1252 remap,
+    NUL -> U+FFFD, no-semicolon named refs, historical prefixes."""
+    from perl_html5_dom_spark.dom.serializer import text_content
+    from perl_html5_dom_spark.dom.treebuilder import parse
+
+    cases = [
+        ("&#x110000;", "�"),       # beyond U+10FFFF
+        ("&#xD800;", "�"),         # surrogate
+        ("&#x80;", "€"),           # C1 -> windows-1252 Euro
+        ("&#0;", "�"),             # NUL
+        ("&#x0D;", "\r"),               # numeric CR is NOT normalized
+        ("&notit;", "¬it;"),       # '&not' historical prefix
+        ("&ampersand", "&ersand"),      # '&amp' consumed w/o semicolon
+        ("&amp", "&"),
+        ("&#X41;&#65;", "AA"),          # capital X, decimal
+        ("&CounterClockwiseContourIntegral;", "∳"),
+    ]
+    for src, want in cases:
+        t = parse("<p>" + src + "</p>")
+        assert text_content(t, t.body_node) == want, src
