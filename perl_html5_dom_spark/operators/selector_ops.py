@@ -187,3 +187,53 @@ def css_extract(df, selector: str, what: str = "text"):
 
     return df.select("url", "html").mapInPandas(
         run, schema="url string, node_id bigint, ord bigint, value string")
+
+
+def css_extract_multi(df, selector: str, whats: tuple = ("text",)):
+    """Like :func:`css_extract` but pulls SEVERAL sinks per match in
+    ONE parse — at crawl scale the parse dominates, so chaining
+    css_extract calls (one parse per sink) doubles/triples the kernel
+    cost that this fuses away.  Returns (url, node_id, ord, <one
+    column per sink>); ``attr:name`` sinks become ``attr_name``
+    columns (None when absent)."""
+    compiled = matcher.compile_selector(selector)
+    for w in whats:
+        if not w.startswith("attr:") and w not in (
+                "text", "html", "inner_html", "inner_text"):
+            raise ValueError(w)
+    colnames = [w.replace("attr:", "attr_").replace(":", "_")
+                for w in whats]
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        from ..dom import innertext, serializer
+        from .extract import parse_document
+
+        cols = ["url", "node_id", "ord"] + colnames
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                doc = parse_document(html)
+                pos = doc.order_pos
+                for nid in matcher.find(doc, compiled):
+                    vals = []
+                    for what in whats:
+                        if what.startswith("attr:"):
+                            a = doc.attrs[nid]
+                            vals.append(a.get(what[5:]) if a else None)
+                        elif what == "text":
+                            vals.append(serializer.text_content(doc, nid))
+                        elif what == "html":
+                            vals.append(serializer.serialize(doc, nid))
+                        elif what == "inner_html":
+                            vals.append(serializer.serialize(
+                                doc, nid, inner=True))
+                        else:
+                            vals.append(innertext.inner_text(doc, nid))
+                    rows.append((url, nid, pos[nid], *vals))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = ("url string, node_id bigint, ord bigint, "
+              + ", ".join(f"{c} string" for c in colnames))
+    return df.select("url", "html").mapInPandas(run, schema=schema)

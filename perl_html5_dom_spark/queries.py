@@ -889,6 +889,23 @@ def q_latest_snapshot(spark, sf_dir):
     return un.latest_snapshot(spark.sql(_REVISITS_SQL))
 
 
+def q_anchor_edges(spark, sf_dir):
+    """The link-graph feed from real HTML: one parse per page pulls
+    BOTH the href attribute and the anchor text for every a[href]
+    (selector_ops.css_extract_multi — fused sinks, one kernel pass);
+    entry = document-order rank."""
+    from pyspark.sql import Window
+
+    hits = so.css_extract_multi(
+        _pages(spark, sf_dir), "a[href]", whats=("attr:href", "text"))
+    w = Window.partitionBy("url").orderBy("ord")
+    return hits.select(
+        "url",
+        F.row_number().over(w).cast("bigint").alias("entry"),
+        F.col("attr_href").alias("href"),
+        F.col("text").alias("anchor"))
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -968,6 +985,7 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "distinctive_terms": q_distinctive_terms,
     "latest_snapshot": q_latest_snapshot,
+    "anchor_edges": q_anchor_edges,
 }
 
 
@@ -1585,4 +1603,16 @@ ORACLES["latest_snapshot"] = (
     " (partition by url order by warc_ts desc, version desc) as rk "
     " from revisits) "
     "select url, warc_ts, version from rk where rk = 1"
+)
+
+
+ORACLES["anchor_edges"] = (
+    f"{PAGES_CTE} "
+    "select url, cast(entry as bigint) as entry, href, anchor from ("
+    " select url, 1 as entry, '/' as href, 'Home' as anchor from pages"
+    " union all select url, 2, '/about', 'About' from pages"
+    " union all select url, 2 + k, "
+    "  'https://example.org/' || cast(doc_id as varchar), 'ref' from"
+    "  (select url, doc_id, unnest(generate_series(1, doc_id % 5)) as k "
+    "   from pages))"
 )

@@ -258,3 +258,34 @@ def test_streaming_dedup_with_watermark_bound(spark, tmp_path):
     q.awaitTermination(120)
     assert {r.text for r in
             spark.read.parquet(str(tmp_path / "out")).collect()} == {"a", "b"}
+
+
+def test_css_extract_multi_fused_sinks(spark):
+    from perl_html5_dom_spark.operators.selector_ops import (
+        css_extract, css_extract_multi)
+
+    html = (b'<body><a href="/x" title="T">one</a>'
+            b'<a href="/y">two <b>bold</b></a><a>untargeted</a></body>')
+    pages = spark.createDataFrame(
+        [("u", html)], "url string, html binary")
+    rows = sorted(css_extract_multi(
+        pages, "a[href]", whats=("attr:href", "attr:title", "text", "html")
+    ).collect(), key=lambda r: r.ord)
+    assert [(r.attr_href, r.attr_title, r.text) for r in rows] == [
+        ("/x", "T", "one"), ("/y", None, "two bold")]
+    assert rows[1].html == '<a href="/y">two <b>bold</b></a>'
+    # parity with the single-sink operator per column
+    single = {r.node_id: r.value for r in
+              css_extract(pages, "a[href]", what="attr:href").collect()}
+    assert {r.node_id: r.attr_href for r in rows} == single
+
+
+def test_css_extract_multi_rejects_bad_sink(spark):
+    import pytest
+
+    from perl_html5_dom_spark.operators.selector_ops import css_extract_multi
+
+    pages = spark.createDataFrame([("u", b"<p>x</p>")],
+                                  "url string, html binary")
+    with pytest.raises(ValueError):
+        css_extract_multi(pages, "p", whats=("nope",))
