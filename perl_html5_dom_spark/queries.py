@@ -906,6 +906,38 @@ def q_anchor_edges(spark, sf_dir):
         F.col("text").alias("anchor"))
 
 
+def q_og_metadata(spark, sf_dir):
+    """Social/SEO metadata per page: og:title + og:description + the
+    canonical link, pulled with TWO fused kernel passes (one per
+    selector; css_extract_multi gets attrs in the same parse) and
+    joined on url.  Pages lacking a tag emit null for that column."""
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    og = ("case when doc_id % 3 = 0 then '' else "
+          "'<meta property=\"og:title\" content=\"OG ' || cast(doc_id as string) || '\">' "
+          "|| '<meta property=\"og:description\" content=\"D' || cast(doc_id % 7 as string) || '\">' end")
+    canon = ("case when doc_id % 4 = 0 then '' else "
+             "'<link rel=\"canonical\" href=\"https://example.org/c/' || cast(doc_id as string) || '\">' end")
+    pages = spark.sql(
+        f"select 'https://example.org/og/' || cast(doc_id as string) as url, "
+        f"encode('<!DOCTYPE html><html><head>' || {og} || {canon} || "
+        f"'<title>T</title></head><body><p>' || text || '</p></body></html>', "
+        f"'utf-8') as html from __docs_src")
+    metas = so.css_extract_multi(
+        pages, 'meta[property^="og:"]', whats=("attr:property", "attr:content"))
+    links = so.css_extract(pages, 'link[rel="canonical"]', what="attr:href")
+    og_cols = (metas.groupBy("url").pivot(
+        "attr_property", ["og:title", "og:description"]).agg(
+        F.first("attr_content")))
+    return (
+        pages.select("url")
+        .join(og_cols, "url", "left")
+        .join(links.select("url", F.col("value").alias("canonical")),
+              "url", "left")
+        .withColumnRenamed("og:title", "og_title")
+        .withColumnRenamed("og:description", "og_description"))
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -986,6 +1018,7 @@ QUERIES = {
     "distinctive_terms": q_distinctive_terms,
     "latest_snapshot": q_latest_snapshot,
     "anchor_edges": q_anchor_edges,
+    "og_metadata": q_og_metadata,
 }
 
 
@@ -1615,4 +1648,16 @@ ORACLES["anchor_edges"] = (
     "  'https://example.org/' || cast(doc_id as varchar), 'ref' from"
     "  (select url, doc_id, unnest(generate_series(1, doc_id % 5)) as k "
     "   from pages))"
+)
+
+
+ORACLES["og_metadata"] = (
+    "select 'https://example.org/og/' || cast(doc_id as varchar) as url, "
+    "case when doc_id % 3 = 0 then null "
+    " else 'OG ' || cast(doc_id as varchar) end as og_title, "
+    "case when doc_id % 3 = 0 then null "
+    " else 'D' || cast(doc_id % 7 as varchar) end as og_description, "
+    "case when doc_id % 4 = 0 then null "
+    " else 'https://example.org/c/' || cast(doc_id as varchar) end as canonical "
+    "from documents"
 )
