@@ -169,3 +169,30 @@ def latest_snapshot(df: DataFrame, key_cols: tuple = ("url",),
     agg = F.max(F.struct(ts_col, *rest)).alias("_w")
     return (df.groupBy(*key_cols).agg(agg)
             .select(*key_cols, "_w.*"))
+
+
+def crawl_delta(old: DataFrame, new: DataFrame, key: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two crawls of the same url space:
+    (url, status added|removed|changed|unchanged, old_md5, new_md5).
+
+    One full-outer equi-join on the key — each side shuffles once on
+    url (or not at all when both sides are bucketed by url, see
+    plans.bucketing) — comparing content digests computed map-side, so
+    the join rows carry 32-byte digests, never document text.  The
+    incremental-crawl planner consumes this to fetch only
+    added|changed urls."""
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(key), F.md5(F.col(text_col)).alias("old_md5"))
+    n = new.select(F.col(key), F.md5(F.col(text_col)).alias("new_md5"))
+    return (
+        o.join(n, key, "full_outer")
+        .selectExpr(
+            key,
+            "case when old_md5 is null then 'added' "
+            "when new_md5 is null then 'removed' "
+            "when old_md5 = new_md5 then 'unchanged' "
+            "else 'changed' end as status",
+            "old_md5", "new_md5")
+    )

@@ -938,6 +938,25 @@ def q_og_metadata(spark, sf_dir):
         .withColumnRenamed("og:description", "og_description"))
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff (urlnorm.crawl_delta): old = the
+    documents corpus; new = same urls with doc_id%7==1 texts edited,
+    doc_id%13==2 urls dropped, and a fresh url block added.  One
+    digest-only full-outer join."""
+    _views(spark, sf_dir)
+    old = spark.sql(
+        "select 'https://d/' || cast(doc_id as string) as url, text "
+        "from documents")
+    new = spark.sql(
+        "select 'https://d/' || cast(doc_id as string) as url, "
+        "case when doc_id % 7 = 1 then text || ' v2' else text end as text "
+        "from documents where doc_id % 13 <> 2 "
+        "union all "
+        "select 'https://d/n' || cast(doc_id as string) as url, text "
+        "from documents where doc_id % 11 = 5")
+    return un.crawl_delta(old, new)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -1019,6 +1038,7 @@ QUERIES = {
     "latest_snapshot": q_latest_snapshot,
     "anchor_edges": q_anchor_edges,
     "og_metadata": q_og_metadata,
+    "crawl_delta": q_crawl_delta,
 }
 
 
@@ -1660,4 +1680,24 @@ ORACLES["og_metadata"] = (
     "case when doc_id % 4 = 0 then null "
     " else 'https://example.org/c/' || cast(doc_id as varchar) end as canonical "
     "from documents"
+)
+
+
+ORACLES["crawl_delta"] = (
+    "with old as (select 'https://d/' || cast(doc_id as varchar) as url, "
+    " text from documents), "
+    "new as (select 'https://d/' || cast(doc_id as varchar) as url, "
+    " case when doc_id % 7 = 1 then text || ' v2' else text end as text "
+    " from documents where doc_id % 13 <> 2 "
+    " union all "
+    " select 'https://d/n' || cast(doc_id as varchar) as url, text "
+    " from documents where doc_id % 11 = 5), "
+    "o as (select url, md5(text) as old_md5 from old), "
+    "n as (select url, md5(text) as new_md5 from new) "
+    "select coalesce(o.url, n.url) as url, "
+    "case when old_md5 is null then 'added' "
+    "when new_md5 is null then 'removed' "
+    "when old_md5 = new_md5 then 'unchanged' "
+    "else 'changed' end as status, old_md5, new_md5 "
+    "from o full outer join n on o.url = n.url"
 )

@@ -289,3 +289,27 @@ def test_css_extract_multi_rejects_bad_sink(spark):
                                   "url string, html binary")
     with pytest.raises(ValueError):
         css_extract_multi(pages, "p", whats=("nope",))
+
+
+def test_bucketed_join_avoids_shuffle(spark, pages, tmp_path):
+    """Two url-bucketed tables equi-join with NO Exchange on either
+    side — the co-location contract plans.bucketing promises."""
+    from perl_html5_dom_spark.plans.bucketing import (
+        bucketed_join_is_shuffle_free, write_bucketed)
+
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = pages.limit(60).selectExpr("url", "length(html) as n")
+        b = pages.limit(60).selectExpr("url", "url as u2")
+        write_bucketed(a, "t_bucket_a", buckets=8)
+        write_bucketed(b, "t_bucket_b", buckets=8)
+        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        assert bucketed_join_is_shuffle_free(ta, tb)
+        assert ta.join(tb, "url").count() == 60
+        # the same join on unbucketed frames DOES shuffle (control)
+        assert not bucketed_join_is_shuffle_free(a, b)
+    finally:
+        spark.sql("drop table if exists t_bucket_a")
+        spark.sql("drop table if exists t_bucket_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
