@@ -23,6 +23,7 @@ from .operators import events as ev
 from .operators import extract as ex
 from .operators import nodes as nd
 from .operators import linkgraph as lg
+from .operators import packing as pk
 from .operators import pdfextract as px
 from .operators import pii as pi
 from .operators import robots as rb
@@ -957,6 +958,15 @@ def q_crawl_delta(spark, sf_dir):
     return un.crawl_delta(old, new)
 
 
+def q_pack_offsets(spark, sf_dir):
+    """Training-sequence packing (packing.pack_offsets): concat-and-
+    chunk token offsets over md5-bucketed substreams; per-bucket
+    windows in parallel, integer arithmetic throughout."""
+    _views(spark, sf_dir)
+    return pk.pack_offsets(spark.table("documents"),
+                           max_tokens=256, buckets=8)
+
+
 QUERIES = {
     "extract_main_text": q_extract_main_text,
     "extract_title": q_extract_title,
@@ -1039,6 +1049,7 @@ QUERIES = {
     "anchor_edges": q_anchor_edges,
     "og_metadata": q_og_metadata,
     "crawl_delta": q_crawl_delta,
+    "pack_offsets": q_pack_offsets,
 }
 
 
@@ -1701,3 +1712,7 @@ ORACLES["crawl_delta"] = (
     "else 'changed' end as status, old_md5, new_md5 "
     "from o full outer join n on o.url = n.url"
 )
+
+
+ORACLES["pack_offsets"] = pk.pack_oracle_sql(
+    max_tokens=256, buckets=8, source="documents")

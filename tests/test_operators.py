@@ -253,3 +253,29 @@ def test_distinctive_terms_ranking(spark):
     assert out[(1, 2)].term == "rare" and out[(1, 2)].df == 1
     # doc 2: tf tie between common and y -> y (df=1) beats common (df=3)
     assert out[(2, 1)].term == "y"
+
+
+def test_pack_offsets_contiguous_streams(spark):
+    """Within every bucket: intervals are contiguous from 0 in doc_id
+    order, and chunk indexes are the interval ends over max_tokens."""
+    from perl_html5_dom_spark.operators.packing import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (i % 7 + 1))) for i in range(1, 40)],
+        "doc_id bigint, text string")
+    rows = pack_offsets(docs, max_tokens=5, buckets=3).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) == 3
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cursor = 0
+        for r in rs:
+            assert r.start_tok == cursor          # no gaps, no overlap
+            assert r.end_tok - r.start_tok == r.n_tokens
+            assert r.first_chunk == r.start_tok // 5
+            assert r.last_chunk == (r.end_tok - 1) // 5
+            cursor = r.end_tok
+    # documents DO span chunk boundaries (the concat-and-chunk layout)
+    assert any(r.first_chunk != r.last_chunk for r in rows)
