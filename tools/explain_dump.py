@@ -141,6 +141,34 @@ def main() -> None:
          "edges repartitioned once on src and reused; iterations "
          "checkpoint to keep the plan linear.")
 
+    from perl_html5_dom_spark.operators import robots as rbt
+    from perl_html5_dom_spark.queries import (
+        _ROBOTS_URLS_SQL, _robots_corpus_sql)
+    rules = rbt.parse_robots(spark.sql(_robots_corpus_sql("char(10)")))
+    grab("robots.txt admission: broadcast rules, single join",
+         rbt.robots_filter(spark.sql(_ROBOTS_URLS_SQL), rules),
+         "The rules relation broadcasts (SQL hint); the URL side is "
+         "joined ONCE (left) and the winner picked by a partial-agg "
+         "max(struct) — the only Exchange of url rows carries one "
+         "pre-combined row per url.")
+
+    from perl_html5_dom_spark.operators import urlnorm as un2
+    old = docs.selectExpr("'u' || cast(doc_id as string) as url", "text")
+    new = docs.selectExpr("'u' || cast(doc_id as string) as url",
+                          "text || 'x' as text")
+    grab("Crawl snapshot diff: digest-only full-outer join",
+         un2.crawl_delta(old, new),
+         "md5 digests computed map-side BELOW the join, so the "
+         "full-outer SMJ shuffles 32-byte digests, never document "
+         "text; with url-bucketed tables (plans/bucketing.py) even "
+         "that Exchange disappears.")
+
+    from perl_html5_dom_spark.operators import packing as pk2
+    grab("Sequence packing: parallel per-bucket windows",
+         pk2.pack_offsets(docs.selectExpr("doc_id", "text")),
+         "One Exchange on the md5 bucket key; the running-sum window "
+         "runs per bucket in parallel — no global ordering bottleneck.")
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
         f.write("Generated by tools/explain_dump.py; re-run after plan "
