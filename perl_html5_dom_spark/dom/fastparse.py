@@ -1007,13 +1007,17 @@ class _Fast:
             return token
 
     def _close_cell(self, cell_idx: int) -> None:
-        # spec "close the cell": implied end tags, pop until the cell,
-        # clear the AFE to the cell's marker.  Stack pops remove on-stack
-        # formatting entries; the truncation below drops any still-pending
-        # entries opened inside the cell, plus the marker itself.
+        # spec "close the cell" / </template>: implied end tags, pop
+        # until the container, clear the AFE up to the LAST marker.
+        # The pops must NOT remove formatting entries (spec stack pops
+        # leave them as off-stack, reconstructable entries — e.g. an
+        # unclosed <b> under an unclosed inner <marquee> marker inside
+        # a template survives </template> and wraps the next phrasing
+        # content); only the clear-to-marker truncation removes entries,
+        # and only from the topmost marker upward.
         while len(self.stack) - 1 > cell_idx:
-            self._pop()
-        self._pop()
+            self._pop_implicit()
+        self._pop()                  # the container itself (non-fmt)
         for i in range(len(self.open_fmt) - 1, -1, -1):
             if self.open_fmt[i] is _MARKER:
                 del self.open_fmt[i:]
