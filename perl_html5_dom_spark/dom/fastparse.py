@@ -44,6 +44,7 @@ from .constants import (
     NS_HTML,
     NS_MATHML,
     NS_SVG,
+    SPECIAL_HTML,
     SVG_TAG_ADJUSTMENTS,
     VOID_TAGS,
 )
@@ -89,15 +90,12 @@ _OK_BODY_START = (
     | _LIST_ITEM | _DD_DT | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
 )
 
-# elements that terminate the li / dd-dt backward search ("special" but
-# not address/div/p, restricted to the fast vocabulary + table scope)
-_LI_STOP = frozenset(
-    (_BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
-     | frozenset(_RAWTEXT_MODES) | _HEAD_VOID
-     | frozenset(("table", "td", "th", "pre", "listing", "form",
-                  "template", "marquee", "object", "applet")))
-    - {"address", "div", "p"}
-)
+# elements that terminate the li / dd-dt backward search: the spec's
+# SPECIAL set minus its address/div/p exception.  Derived from the full
+# machine's constant so the two lanes cannot drift (a hand-rolled copy
+# previously missed button/select/textarea and wrongly held dialog —
+# caught by the mixed-alphabet differential fuzz)
+_LI_STOP = frozenset(SPECIAL_HTML) - {"address", "div", "p"}
 
 #: "has an element in scope" boundaries present in the fast vocabulary
 #: (WHATWG scope list: html, table, td, th, + others we bail on) — walks
@@ -112,15 +110,10 @@ _TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
 _CELL_CLOSERS = frozenset(
     ("td", "th", "tr", "caption", "col", "colgroup")) | _TABLE_SECTIONS
 
-#: "special" elements of the fast vocabulary (any-other-end-tag rule;
-#: also the AAA furthest-block test) — pre/listing/form/select are spec
-#: "special" and parsed by the fast lane, so they MUST appear here
-_SPECIAL = (
-    _BLOCK_START | HEADING_TAGS | _LIST_ITEM | _DD_DT | _BODY_VOID
-    | _HEAD_VOID | frozenset(_RAWTEXT_MODES)
-    | frozenset(("html", "head", "body", "pre", "listing", "form", "select",
-                 "button", "template", "marquee", "object", "applet"))
-)
+#: "special" elements (any-other-end-tag rule; also the AAA
+#: furthest-block test) — the full machine's spec set verbatim, so the
+#: two lanes cannot drift
+_SPECIAL = frozenset(SPECIAL_HTML)
 
 
 #: HTML start tags accepted inside island integration points (simple,
@@ -565,7 +558,13 @@ class _Fast:
             self.open_fmt.append(_MARKER)
             return
         if tag == "form":
-            # in-body form: ignored while the form pointer is set
+            # spec: ignore only when the pointer is set AND no template
+            # is on the stack; with a template open the form is always
+            # inserted and the pointer is NOT set
+            if "template" in self.tags:
+                self._close_p()
+                self._push(token)
+                return
             if self.form is not None:
                 return
             self._close_p()
@@ -1026,6 +1025,18 @@ class _Fast:
     def _body_end(self, tag: str) -> None:
         tags = self.tags
         if tag == "form":
+            if "template" in tags:
+                # template branch: scope check, implied end tags, pop
+                # until the form is popped (pointer uninvolved)
+                for t in reversed(tags):
+                    if t == "form":
+                        while tags[-1] in _IMPLIED:
+                            self._pop_implicit()
+                        self._pop_until("form")
+                        return
+                    if t in _SCOPE_STOP:
+                        return
+                return
             # spec: take the form pointer, null it; ignore if unset or
             # not in scope; implied end tags, then REMOVE that node from
             # the stack wherever it is (the tree keeps its children)

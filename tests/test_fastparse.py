@@ -457,3 +457,21 @@ AAA_FAST = [
 def test_aaa_fast_cases(src):
     assert_equal_trees(src)
     assert fastparse.try_parse(src) is not None, "should stay in fast lane"
+
+
+def test_form_and_li_stop_regressions():
+    """Minimal cases from the round-3 mixed-alphabet fuzz: form inside
+    template (always inserted, pointer untouched; </form> pops by
+    scope), dd/dt close stopping at special elements (button), and
+    dialog NOT being a li/dd/dt stop."""
+    cases = [
+        "<!DOCTYPE html><body><form><template><form>x",
+        "<!DOCTYPE html><body><template><form><form>x",
+        "<!DOCTYPE html><body><template><form><b>x</form>y</template>z",
+        "<!DOCTYPE html><body><dt><button><dt>x",
+        "<!DOCTYPE html><body><li><dialog><li>x",
+        "<!DOCTYPE html><body><template><marquee><marquee><marquee><b>"
+        "<marquee></template><marquee>",
+    ]
+    for src in cases:
+        assert_equal_trees(src)
