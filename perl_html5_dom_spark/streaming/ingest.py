@@ -73,6 +73,27 @@ def dedup_stream(stream: DataFrame, key_col: str = "text",
     return df.drop("_digest")
 
 
+def crawl_rate_stream(pages: DataFrame, window: str = "1 minute",
+                      watermark: str = "5 minutes",
+                      ts_col: str = "warc_ts") -> DataFrame:
+    """Streaming politeness monitor: fetches per host per tumbling
+    window — (window_start, window_end, host, n_fetches).  The crawl
+    scheduler watches this to throttle hosts that exceed their budget.
+
+    Watermarked windowed count: state is bounded to the watermark
+    horizon and windows finalize (append mode works) once the event
+    time passes; the aggregation is the same partial-agg shape as the
+    batch host_stats, keyed (window, host)."""
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 F.expr("parse_url(url, 'HOST')").alias("host"))
+        .count()
+        .selectExpr("w.start as window_start", "w.end as window_end",
+                    "host", "cast(count as bigint) as n_fetches")
+    )
+
+
 def start_warc_extraction(spark: SparkSession, warc_dir: str, output_dir: str,
                           checkpoint_dir: str, trigger_once: bool = True,
                           max_files_per_trigger: int = 4):

@@ -313,3 +313,39 @@ def test_bucketed_join_avoids_shuffle(spark, pages, tmp_path):
         spark.sql("drop table if exists t_bucket_a")
         spark.sql("drop table if exists t_bucket_b")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_crawl_rate_stream_windows(spark, tmp_path):
+    """Windowed per-host fetch counts over a watermarked stream match
+    the batch recomputation; late-window state finalizes in append
+    mode (file sink) once the watermark passes."""
+    import datetime
+
+    from perl_html5_dom_spark.streaming.ingest import crawl_rate_stream
+
+    base = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(120):
+        rows.append((f"https://h{i % 3}.example/p{i}",
+                     base + datetime.timedelta(seconds=i * 2)))
+    # a late straggler window-closer so earlier windows finalize
+    rows.append(("https://h0.example/last",
+                 base + datetime.timedelta(minutes=30)))
+    schema = "url string, warc_ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(tmp_path / "in" / "*")))
+    q = (crawl_rate_stream(stream)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r.window_start), r.host): r.n_fetches for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    # 120 fetches x 2s = 4 one-minute windows, 30 fetches each, 3 hosts
+    assert got[("2025-01-01 12:00:00", "h0.example")] == 10
+    assert got[("2025-01-01 12:01:00", "h1.example")] == 10
+    assert sum(v for (w, h), v in got.items()
+               if w.startswith("2025-01-01 12:0")) == 120
