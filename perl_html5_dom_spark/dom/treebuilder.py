@@ -123,6 +123,10 @@ class TreeBuilder:
                 self.tok.set_rawtext(context_tag, "script")
             elif context_tag == "plaintext":
                 self.tok.set_rawtext(context_tag, "plaintext")
+            elif context_tag == "template":
+                # spec §13.4 step 11: a template context seeds the
+                # stack of template insertion modes with "in template"
+                self.template_modes.append("in_template")
         self._reset_insertion_mode()
         self._run(fragment=True)
         # re-home children from the synthetic root onto the fragment node
@@ -995,8 +999,11 @@ class TreeBuilder:
             return
         if tt == "eof":
             if self.template_modes:
-                self._end_template()
-                self._reprocess(token)
+                # spec: process per the "in template" rules — its
+                # no-template-on-stack branch is the fragment-case
+                # stop (a direct _end_template here would early-return
+                # without consuming a mode and loop forever)
+                self._mode_in_template(token)
                 return
             self.done = True
             return

@@ -1180,8 +1180,206 @@ def parse_dat(dat: str):
     return cases
 
 
+# Round-3 family #6: fragment parsing — the reference's weakest
+# conformance territory (foreign-fragment contexts: lib/HTML5/DOM.pod:
+# 3325-3328) plus table/select/template/rawtext contexts.  Each case
+# was audited against WHATWG §13.4 (fragment algorithm: context-element
+# tokenizer states, template insertion-mode seeding, adjusted-current-
+# node = context when the stack holds only the root) before pinning;
+# authoring this family found and fixed two fragment bugs (template
+# mode-stack seeding, in-body EOF with a non-empty template mode stack
+# looping in the fragment case).
+DAT6 = r'''
+#data
+<b>x</b><path d=1>
+#document-fragment
+svg path
+#document
+| <b>
+|   "x"
+| <svg path>
+|   d="1"
+
+#data
+<b>x
+#document-fragment
+math mi
+#document
+| <b>
+|   "x"
+
+#data
+<mi>y</mi><b>x
+#document-fragment
+math annotation-xml
+#document
+| <math mi>
+|   "y"
+| <b>
+|   "x"
+
+#data
+<p>h</p><svg><circle>
+#document-fragment
+svg foreignObject
+#document
+| <p>
+|   "h"
+| <svg svg>
+|   <svg circle>
+
+#data
+t<b>x
+#document-fragment
+svg desc
+#document
+| "t"
+| <b>
+|   "x"
+
+#data
+<td>a<td>b
+#document-fragment
+tr
+#document
+| <td>
+|   "a"
+| <td>
+|   "b"
+
+#data
+<tr><td>a
+#document-fragment
+table
+#document
+| <tbody>
+|   <tr>
+|     <td>
+|       "a"
+
+#data
+<tr><td>a
+#document-fragment
+tbody
+#document
+| <tr>
+|   <td>
+|     "a"
+
+#data
+x<table><td>y
+#document-fragment
+td
+#document
+| "x"
+| <table>
+|   <tbody>
+|     <tr>
+|       <td>
+|         "y"
+
+#data
+<option>a<optgroup>b<option>c
+#document-fragment
+select
+#document
+| <option>
+|   "a"
+| <optgroup>
+|   "b"
+|   <option>
+|     "c"
+
+#data
+<head><meta></head><body>x
+#document-fragment
+html
+#document
+| <head>
+|   <meta>
+| <body>
+|   "x"
+
+#data
+a<b>c&amp;
+#document-fragment
+title
+#document
+| "a<b>c&"
+
+#data
+if (a<b) {}
+#document-fragment
+script
+#document
+| "if (a<b) {}"
+
+#data
+<caption>c</caption><tr>
+#document-fragment
+table
+#document
+| <caption>
+|   "c"
+| <tbody>
+|   <tr>
+
+#data
+<col><col span=2>
+#document-fragment
+colgroup
+#document
+| <col>
+| <col>
+|   span="2"
+
+#data
+<td>x
+#document-fragment
+template
+#document
+| <td>
+|   "x"
+
+#data
+<col>
+#document-fragment
+template
+#document
+| <col>
+
+#data
+<template><td>n</template>m
+#document-fragment
+template
+#document
+| <template>
+|   content
+|     <td>
+|       "n"
+| "m"
+
+#data
+<font face=x>y
+#document-fragment
+svg svg
+#document
+| <font>
+|   face="x"
+|   "y"
+
+#data
+<figure>f
+#document-fragment
+math ms
+#document
+| <figure>
+|   "f"
+'''
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
-         + parse_dat(DAT4) + parse_dat(DAT5))
+         + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6))
 
 
 @pytest.mark.parametrize("src,frag_ctx,expected", CASES,

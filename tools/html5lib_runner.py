@@ -101,6 +101,7 @@ def selftest() -> int:
         (Path(td) / "goldens3.dat").write_text(G.DAT3.strip("\n") + "\n")
         (Path(td) / "goldens4.dat").write_text(G.DAT4.strip("\n") + "\n")
         (Path(td) / "goldens5.dat").write_text(G.DAT5.strip("\n") + "\n")
+        (Path(td) / "goldens6.dat").write_text(G.DAT6.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
