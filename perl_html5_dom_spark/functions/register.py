@@ -86,6 +86,19 @@ def css_main_text_fn(html: pd.Series) -> pd.Series:
     return pd.Series([main_text(_parse(h)) for h in html], dtype=object)
 
 
+def css_attr_fn(html: pd.Series, selector: pd.Series,
+                name: pd.Series) -> pd.Series:
+    from ..selector import matcher
+
+    out = []
+    for h, sel, attr in zip(html, selector, name):
+        doc = _parse(h)
+        nid = matcher.at(doc, _compiled(sel))
+        a = doc.attrs[nid] if nid != -1 else None
+        out.append(a.get(attr) if a else None)
+    return pd.Series(out, dtype=object)
+
+
 def register_all(spark) -> None:
     from pyspark.sql.functions import pandas_udf
 
@@ -94,3 +107,4 @@ def register_all(spark) -> None:
     spark.udf.register("css_html", pandas_udf(css_html_fn, "string"))
     spark.udf.register("css_inner_text", pandas_udf(css_inner_text_fn, "string"))
     spark.udf.register("css_main_text", pandas_udf(css_main_text_fn, "string"))
+    spark.udf.register("css_attr", pandas_udf(css_attr_fn, "string"))

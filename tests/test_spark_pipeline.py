@@ -349,3 +349,22 @@ def test_crawl_rate_stream_windows(spark, tmp_path):
     assert got[("2025-01-01 12:01:00", "h1.example")] == 10
     assert sum(v for (w, h), v in got.items()
                if w.startswith("2025-01-01 12:0")) == 120
+
+
+def test_sql_css_attr(spark, pages):
+    from perl_html5_dom_spark.functions.register import register_all
+
+    register_all(spark)
+    pages.limit(10).createOrReplaceTempView("pages_attr_v")
+    rows = spark.sql("""
+        select url,
+               css_attr(html, 'a.ref', 'href') as ref_href,
+               css_attr(html, 'a.ref', 'missing') as absent,
+               css_attr(html, 'section.nope', 'x') as no_match
+        from pages_attr_v
+    """).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.absent is None and r.no_match is None
+        if r.ref_href is not None:
+            assert r.ref_href.startswith("https://example.org/")
