@@ -368,3 +368,68 @@ def test_sql_css_attr(spark, pages):
         assert r.absent is None and r.no_match is None
         if r.ref_href is not None:
             assert r.ref_href.startswith("https://example.org/")
+
+
+def test_end_to_end_webtext_pipeline(spark, tmp_path):
+    """The full curation chain composes: WARC files -> extraction ->
+    quality filter -> exact dedup -> content-keyed split -> sequence
+    packing, each stage feeding the next as a plain DataFrame."""
+    from perl_html5_dom_spark.operators.dedup import exact_duplicates
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    from perl_html5_dom_spark.operators.packing import pack_offsets
+    from perl_html5_dom_spark.operators.textstats import (
+        corpus_split, quality_scores)
+    from perl_html5_dom_spark.sources.warc import (
+        build_response_record, build_warc, warc_pages_df)
+
+    # 1. crawl drop: 30 pages in 3 .warc.gz files; ids 0/10/20 share
+    # one body (exact dups), id%7==3 bodies are junk (one short token)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for fi in range(3):
+        recs = []
+        for i in range(10):
+            did = fi * 10 + i
+            body = ("zz" if did % 7 == 3 else
+                    "the shared body text" if did % 10 == 0 else
+                    f"the unique body text number {did} with tokens")
+            recs.append(build_response_record(
+                f"https://e2e.example/{did}",
+                f"<html><body><main><p>{body}</p></main></body></html>"
+                .encode()))
+        (drop / f"seg{fi}.warc.gz").write_bytes(build_warc(recs))
+
+    # 2. ingest + extract
+    pages = warc_pages_df(spark, str(drop))
+    docs = (extract_pages(pages, span_selector=None,
+                          fields=["url", "main_text"])
+            .selectExpr("cast(substring_index(url, '/', -1) as bigint) "
+                        "as doc_id", "main_text as text"))
+    assert docs.count() == 30
+
+    # 3. quality filter drops the junk docs (short, no stopwords)
+    q = quality_scores(docs)
+    kept = docs.join(q.where("n_tokens >= 4 and stopword_ratio > 0"),
+                     "doc_id").select("doc_id", "text")
+    n_kept = kept.count()
+    # junk ids: 3,10,17,24 (the %7 branch wins over %10 for id 10)
+    assert n_kept == 26
+    # 4. exact dedup keeps one of the three shared bodies
+    dup_groups = exact_duplicates(kept)
+    assert dup_groups.count() == 1
+    losers = (dup_groups.selectExpr("text_md5", "keeper_id")
+              .join(kept.selectExpr("doc_id", "md5(text) as text_md5"),
+                    "text_md5")
+              .where("doc_id <> keeper_id"))
+    deduped = kept.join(losers.select("doc_id"), "doc_id", "left_anti")
+    assert deduped.count() == n_kept - 1        # shared body on ids 0,20
+
+    # 5. split + pack
+    final = deduped.join(
+        corpus_split(deduped).where("split = 'train'"), "doc_id")
+    packed = pack_offsets(final.select("doc_id", "text"),
+                          max_tokens=16, buckets=4)
+    rows = packed.collect()
+    assert len(rows) == final.count() > 0
+    assert sum(r.n_tokens for r in rows) == \
+        sum(len(r.text.split(" ")) for r in final.select("text").collect())
