@@ -487,11 +487,15 @@ def _match_func(doc: Document, node: int, s, scope) -> bool:
     if name in ("matches", "is", "where", "current"):
         return any(_entry_matches(doc, node, e, scope) for e in payload.entries)
     if name == "has":
-        for m in doc.iter_subtree(node, include_self=False):
-            if doc.node_type[m] != ELEMENT_NODE:
+        # relative-selector semantics: every payload entry starts with
+        # an explicit ':scope' step (parser desugaring), so candidates
+        # come from the WHOLE document (sibling combinators reach
+        # outside the anchor's subtree) and the anchor is the scope
+        for m in doc.iter_subtree(doc.root, include_self=False):
+            if doc.node_type[m] != ELEMENT_NODE or m == node:
                 continue
             for e in payload.entries:
-                if _entry_matches(doc, m, e, scope):
+                if _entry_matches(doc, m, e, node):
                     return True
         return False
     if name == "contains":

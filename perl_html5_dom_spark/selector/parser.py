@@ -356,6 +356,50 @@ def _parse_group(text: str) -> list[Entry]:
     return entries
 
 
+def _parse_group_relative(text: str) -> list[Entry]:
+    """Relative selector group (the :has() argument): entries may lead
+    with a combinator; every entry is rewritten to start with an
+    explicit ':scope' step so the matcher anchors it at the element
+    under test."""
+    p = _P(text)
+    entries = []
+    while True:
+        p.ws()
+        comb: str | None = None
+        c = p.peek()
+        if c == ">" and p.s.startswith(">>", p.i):
+            p.i += 2
+            comb = "descendant"
+        elif c == ">":
+            p.i += 1
+            comb = "child"
+        elif c == "+":
+            p.i += 1
+            comb = "sibling"
+        elif c == "~":
+            p.i += 1
+            comb = "adjacent"
+        elif c == "|" and p.s.startswith("||", p.i):
+            p.i += 2
+            comb = "column"
+        p.ws()
+        e = _parse_entry(p)
+        if e is None:
+            raise SelectorError("empty relative entry")
+        first_comb, first_simples = e.steps[0]
+        steps = [(None, [("pseudo", "scope")]),
+                 (comb or "descendant", first_simples)] + e.steps[1:]
+        entries.append(Entry(steps))
+        p.ws()
+        if p.peek() == ",":
+            p.i += 1
+            continue
+        if p.i >= p.n:
+            break
+        raise SelectorError("trailing garbage at %d" % p.i)
+    return entries
+
+
 def _parse_entry(p: _P) -> Entry | None:
     steps: list[tuple[str | None, list]] = []
     p.ws()
@@ -477,6 +521,15 @@ def _parse_pseudo(p: _P):
         if name in _NTH_FUNCS:
             a, b, of = _parse_nth(inner)
             return ("nth", name, a, b, of)
+        if name == "has":
+            # Selectors L4: :has() takes a RELATIVE selector list —
+            # each entry may lead with a combinator and is anchored at
+            # :scope (the element being tested).  Desugar here: a
+            # leading combinator C becomes ':scope C rest'; no leading
+            # combinator means descendant-of-scope, which the matcher's
+            # document-wide candidate scan + left-chain enforces.
+            sub = _parse_group_relative(inner.strip())
+            return ("func", name, SelectorList(sub, True, inner))
         if name in _FUNC_SELECTOR_ARG:
             sub = _parse_group(inner.strip())
             return ("func", name, SelectorList(sub, True, inner))

@@ -259,3 +259,27 @@ def test_drop_parses_and_matches_nothing():
     assert t.find("input:drop()").length() == 0
     assert t.find("input:drop(active)").length() == 0
     assert t.find("input").length() == 1
+
+
+def test_has_relative_selectors():
+    """Selectors L4 relative forms in :has(): leading child/sibling
+    combinators anchor at the element under test (found non-matching
+    by the round-3 algebra fuzz, previously parsed as invalid)."""
+    from perl_html5_dom_spark.dom.treebuilder import parse
+    from perl_html5_dom_spark.selector import matcher
+
+    doc = parse('<body><div><li>a</li></div><ul><li>b</li></ul>'
+                '<section></section></body>')
+
+    def hits(sel):
+        return sorted(doc.tag[n] for n in
+                      matcher.find(doc, matcher.compile_selector(sel)))
+
+    assert hits(":has(> li)") == ["div", "ul"]
+    assert hits("div:has(+ ul)") == ["div"]
+    assert hits("div:has(~ section)") == ["div"]
+    assert hits("ul:has(~ section)") == ["ul"]
+    assert hits("section:has(~ ul)") == []
+    assert hits(":has(> li, > section)") == ["body", "div", "ul"]
+    # absolute form still means descendant-anywhere
+    assert hits(":has(li)") == ["body", "div", "html", "ul"]
