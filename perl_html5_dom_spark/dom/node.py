@@ -469,20 +469,38 @@ class Node:
     def _unwrap_arg(self, node):
         return node.nid if isinstance(node, Node) else node
 
-    def _splice_in(self, node, inserter):
-        """Fragment args splice their children (DOM.pod:1374-1377)."""
+    def _splice_in(self, node, inserter, parent_nid=None):
+        """Fragment args splice their children (DOM.pod:1374-1377).
+
+        ``parent_nid`` is the insertion parent for the spec's
+        HierarchyRequestError pre-check: inserting a node into its own
+        subtree would detach it into an orphan cycle (and make every
+        subtree iteration loop forever), so it raises instead."""
         d = self.doc
+
+        def _guard(c):
+            if parent_nid is not None:
+                a = parent_nid
+                while a != NULL:
+                    if a == c:
+                        raise ValueError(
+                            "HierarchyRequestError: cannot insert a node "
+                            "into its own descendant")
+                    a = d.parent[a]
+            inserter(c)
+
         nid = self._unwrap_arg(node)
         if d.node_type[nid] == FRAGMENT_NODE:
             for c in d.children(nid):
-                inserter(c)
+                _guard(c)
             return
-        inserter(nid)
+        _guard(nid)
 
     def append(self, node):
         """append → returns self; appendChild → returns the added node
         (reference alias return conventions, DOM.xs:2000-2035)."""
-        self._splice_in(node, lambda c: self.doc.append_child(self.nid, c))
+        self._splice_in(node, lambda c: self.doc.append_child(self.nid, c),
+                        parent_nid=self.nid)
         return self
 
     def appendChild(self, node):
@@ -493,9 +511,11 @@ class Node:
         d = self.doc
         first = d.first_child[self.nid]
         if first == NULL:
-            self._splice_in(node, lambda c: d.append_child(self.nid, c))
+            self._splice_in(node, lambda c: d.append_child(self.nid, c),
+                            parent_nid=self.nid)
             return self
-        self._splice_in(node, lambda c: d.insert_before(first, c))
+        self._splice_in(node, lambda c: d.insert_before(first, c),
+                        parent_nid=self.nid)
         return self
 
     def prependChild(self, node):
@@ -503,7 +523,8 @@ class Node:
         return node
 
     def before(self, node):
-        self._splice_in(node, lambda c: self.doc.insert_before(self.nid, c))
+        self._splice_in(node, lambda c: self.doc.insert_before(self.nid, c),
+                        parent_nid=self.doc.parent[self.nid])
         return self
 
     def insertBefore(self, node, ref=None):
@@ -521,7 +542,7 @@ class Node:
             d.insert_after(anchor[0], c)
             anchor[0] = c
 
-        self._splice_in(node, ins)
+        self._splice_in(node, ins, parent_nid=d.parent[self.nid])
         return self
 
     def insertAfter(self, node, ref=None):

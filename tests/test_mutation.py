@@ -196,3 +196,25 @@ def test_text_setter_on_text_node():
     txt.text("new")
     assert t.at("#x").text() == "new"
     assert txt.nodeValue() == "new"
+
+
+def test_hierarchy_guard_rejects_ancestor_insertion():
+    """Inserting a node into its own subtree must raise (the spec's
+    HierarchyRequestError) instead of silently detaching the subtree
+    into an orphan cycle — found by the round-3 mutation fuzz."""
+    import pytest
+
+    from perl_html5_dom_spark.api import HTML5DOM
+
+    api = HTML5DOM()
+    tree = api.parse("<body><div><p><span>x</span></p></div></body>")
+    div, span = tree.at("div"), tree.at("span")
+    for op in ("append", "prepend", "before", "after"):
+        with pytest.raises(ValueError):
+            getattr(span, op)(div)
+        with pytest.raises(ValueError):
+            getattr(span, op)(tree.body())
+    # the tree is untouched and legal moves still work
+    assert tree.at("div").at("p").at("span") is not None
+    tree.body().append(tree.at("p"))
+    assert tree.at("div").at("p") is None
