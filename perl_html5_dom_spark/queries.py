@@ -157,6 +157,21 @@ def q_css_has(spark, sf_dir):
     )
 
 
+def q_css_has_child(spark, sf_dir):
+    """Relative :has() (Selectors L4): direct-child and following-
+    sibling forms, new in round 3.  article:has(> a.ref) matches when
+    the ref links are DIRECT children (always, by template shape);
+    main:has(~ aside) pins the sibling form (main precedes aside in
+    every page)."""
+    pages = _pages(spark, sf_dir)
+    child = so.css_find(pages, "article:has(> a.ref)").selectExpr(
+        "url", "'child' as form")
+    sib = so.css_find(pages, "main:has(~ aside)").selectExpr(
+        "url", "'sibling' as form")
+    return child.union(sib).groupBy("form").agg(
+        F.count("*").cast("bigint").alias("n"))
+
+
 def q_css_contains(spark, sf_dir):
     return (
         so.css_find(_pages(spark, sf_dir), "article p:contains(spark)")
@@ -1050,6 +1065,7 @@ QUERIES = {
     "og_metadata": q_og_metadata,
     "crawl_delta": q_crawl_delta,
     "pack_offsets": q_pack_offsets,
+    "css_has_child": q_css_has_child,
 }
 
 
@@ -1716,3 +1732,13 @@ ORACLES["crawl_delta"] = (
 
 ORACLES["pack_offsets"] = pk.pack_oracle_sql(
     max_tokens=256, buckets=8, source="documents")
+
+
+ORACLES["css_has_child"] = (
+    # ref links are direct article children for doc_id % 5 > 0 pages;
+    # every page has main followed by aside
+    "select 'child' as form, cast(count(*) as bigint) as n "
+    "from documents where doc_id % 5 > 0 "
+    "union all "
+    "select 'sibling' as form, cast(count(*) as bigint) as n from documents"
+)
