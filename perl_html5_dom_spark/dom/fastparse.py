@@ -954,7 +954,13 @@ class _Fast:
                 continue
             if tt == "start":
                 tag = t[1]
-                if tag not in _HEAD_VOID and tag not in _RAWTEXT_MODES                         and tag != "template":
+                # the spec's in-template head-ish list (base/basefont/
+                # bgsound/link/meta/noframes/script/style/template/
+                # title) leaves the mode alone; noscript is NOT in it —
+                # it flips the template to in-body even though its
+                # content tokenizes as rawtext
+                if tag not in _HEAD_VOID and tag != "template" and (
+                        tag not in _RAWTEXT_MODES or tag == "noscript"):
                     in_body = True
                 self._body_start(t)   # includes nested <template>
                 continue

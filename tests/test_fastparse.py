@@ -475,3 +475,17 @@ def test_form_and_li_stop_regressions():
     ]
     for src in cases:
         assert_equal_trees(src)
+
+
+def test_noscript_flips_template_to_body():
+    """In-template <noscript> is NOT in the spec's head-ish list, so it
+    flips the template insertion mode to in-body even though its
+    content tokenizes as rawtext — a later </br> must act like <br>
+    (found at 1-in-150k by the wide-alphabet differential fuzz)."""
+    cases = [
+        "<!DOCTYPE html><body><template><noscript></noscript></br>",
+        "<!DOCTYPE html><body><template><style>a{}</style></br>x",
+        "<!DOCTYPE html><body><template><noscript><b></b></noscript>y",
+    ]
+    for src in cases:
+        assert_equal_trees(src)
