@@ -157,6 +157,33 @@ def q_css_has(spark, sf_dir):
     )
 
 
+def q_jsonld_meta(spark, sf_dir):
+    """Structured-data extraction: the DOM kernel pulls the raw
+    script[type="application/ld+json"] payload (script content is raw
+    text, so text_content IS the JSON source), then get_json_object
+    parses it JVM-side — the schema.org metadata path of a crawl
+    pipeline, zero Python past the parse."""
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    ld = ("'{\"@type\":\"Article\",\"headline\":\"H' || "
+          "cast(doc_id as string) || '\",\"wordCount\":' || "
+          "cast(doc_id % 900 + 100 as string) || '}'")
+    pages = spark.sql(
+        "select 'https://example.org/ld/' || cast(doc_id as string) as url, "
+        "encode('<!DOCTYPE html><html><head>"
+        "<script type=\"application/ld+json\">' || " + ld + " || "
+        "'</script><title>T</title></head><body><p>' || text || "
+        "'</p></body></html>', 'utf-8') as html "
+        "from __docs_src where doc_id % 3 <> 0")
+    raw = so.css_extract(
+        pages, 'script[type="application/ld+json"]', what="text")
+    return raw.selectExpr(
+        "url",
+        "get_json_object(value, '$.headline') as headline",
+        "cast(get_json_object(value, '$.wordCount') as bigint) as word_count",
+        "get_json_object(value, '$.@type') as ld_type")
+
+
 def q_css_has_child(spark, sf_dir):
     """Relative :has() (Selectors L4): direct-child and following-
     sibling forms, new in round 3.  article:has(> a.ref) matches when
@@ -1066,6 +1093,7 @@ QUERIES = {
     "crawl_delta": q_crawl_delta,
     "pack_offsets": q_pack_offsets,
     "css_has_child": q_css_has_child,
+    "jsonld_meta": q_jsonld_meta,
 }
 
 
@@ -1741,4 +1769,13 @@ ORACLES["css_has_child"] = (
     "from documents where doc_id % 5 > 0 "
     "union all "
     "select 'sibling' as form, cast(count(*) as bigint) as n from documents"
+)
+
+
+ORACLES["jsonld_meta"] = (
+    "select 'https://example.org/ld/' || cast(doc_id as varchar) as url, "
+    "'H' || cast(doc_id as varchar) as headline, "
+    "cast(doc_id % 900 + 100 as bigint) as word_count, "
+    "'Article' as ld_type "
+    "from documents where doc_id % 3 <> 0"
 )
