@@ -184,6 +184,36 @@ def q_jsonld_meta(spark, sf_dir):
         "get_json_object(value, '$.@type') as ld_type")
 
 
+def q_microdata(spark, sf_dir):
+    """schema.org microdata extraction: one fused kernel pass pulls
+    itemprop name + element text for every [itemprop] node; entry =
+    document order within the page (css_extract_multi — the other half
+    of the structured-data surface next to JSON-LD)."""
+    from pyspark.sql import Window
+
+    docs = pg.read_docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__docs_src")
+    pages = spark.sql(
+        "select 'https://example.org/md/' || cast(doc_id as string) as url, "
+        "encode('<!DOCTYPE html><html><body>"
+        "<div itemscope itemtype=\"https://schema.org/Article\">"
+        "<h1 itemprop=\"headline\">H' || cast(doc_id as string) || '</h1>"
+        "<span itemprop=\"author\">A' || cast(doc_id % 7 as string) || '</span>' || "
+        "case when doc_id % 2 = 0 then "
+        "'<time itemprop=\"datePublished\">2025-0' || "
+        "cast(doc_id % 9 + 1 as string) || '</time>' else '' end || "
+        "'</div></body></html>', 'utf-8') as html "
+        "from __docs_src")
+    hits = so.css_extract_multi(pages, "[itemprop]",
+                                whats=("attr:itemprop", "text"))
+    w = Window.partitionBy("url").orderBy("ord")
+    return hits.select(
+        "url",
+        F.row_number().over(w).cast("bigint").alias("entry"),
+        F.col("attr_itemprop").alias("prop"),
+        F.col("text").alias("value"))
+
+
 def q_css_has_child(spark, sf_dir):
     """Relative :has() (Selectors L4): direct-child and following-
     sibling forms, new in round 3.  article:has(> a.ref) matches when
@@ -1094,6 +1124,7 @@ QUERIES = {
     "pack_offsets": q_pack_offsets,
     "css_has_child": q_css_has_child,
     "jsonld_meta": q_jsonld_meta,
+    "microdata": q_microdata,
 }
 
 
@@ -1778,4 +1809,17 @@ ORACLES["jsonld_meta"] = (
     "cast(doc_id % 900 + 100 as bigint) as word_count, "
     "'Article' as ld_type "
     "from documents where doc_id % 3 <> 0"
+)
+
+
+ORACLES["microdata"] = (
+    "select 'https://example.org/md/' || cast(doc_id as varchar) as url, "
+    "cast(entry as bigint) as entry, prop, value from ("
+    " select doc_id, 1 as entry, 'headline' as prop, "
+    "  'H' || cast(doc_id as varchar) as value from documents "
+    " union all select doc_id, 2, 'author', "
+    "  'A' || cast(doc_id % 7 as varchar) from documents "
+    " union all select doc_id, 3, 'datePublished', "
+    "  '2025-0' || cast(doc_id % 9 + 1 as varchar) "
+    "  from documents where doc_id % 2 = 0)"
 )
