@@ -488,13 +488,31 @@ def _match_func(doc: Document, node: int, s, scope) -> bool:
         return any(_entry_matches(doc, node, e, scope) for e in payload.entries)
     if name == "has":
         # relative-selector semantics: every payload entry starts with
-        # an explicit ':scope' step (parser desugaring), so candidates
-        # come from the WHOLE document (sibling combinators reach
-        # outside the anchor's subtree) and the anchor is the scope
-        for m in doc.iter_subtree(doc.root, include_self=False):
-            if doc.node_type[m] != ELEMENT_NODE or m == node:
-                continue
-            for e in payload.entries:
+        # an explicit ':scope' step (parser desugaring) and the anchor
+        # is the scope.  Candidate space narrows per entry by its
+        # leading combinator — subtree for descendant, the anchor's
+        # subtree-after-children for child chains, following siblings'
+        # subtrees for +/~ — so absolute :has() keeps its old
+        # subtree-only cost and relative forms never scan the document.
+        for e in payload.entries:
+            lead = e.steps[1][0] if len(e.steps) > 1 else "descendant"
+            if lead in ("descendant", "child"):
+                cands = doc.iter_subtree(node, include_self=False)
+            elif lead in ("sibling", "adjacent"):
+                def _sibs(anchor):
+                    s = doc.next_sib[anchor]
+                    while s != NULL:
+                        if doc.node_type[s] == ELEMENT_NODE:
+                            yield s
+                            yield from doc.iter_subtree(
+                                s, include_self=False)
+                        s = doc.next_sib[s]
+                cands = _sibs(node)
+            else:                       # column: same-table cells
+                cands = doc.iter_subtree(doc.root, include_self=False)
+            for m in cands:
+                if doc.node_type[m] != ELEMENT_NODE or m == node:
+                    continue
                 if _entry_matches(doc, m, e, node):
                     return True
         return False
