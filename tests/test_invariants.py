@@ -33,11 +33,15 @@ def _alphabet():
 
 def test_fastparse_full_machine_differential():
     """The fast lane and the insertion-mode machine agree (or the fast
-    lane bails) on random mixed-vocabulary soup."""
+    lane bails) on random mixed-vocabulary soup, in standards, quirks
+    (no doctype) and limited-quirks (legacy public id) modes."""
     random.seed(0xF457)
     alpha = _alphabet()
-    for _ in range(700):
-        src = "<!DOCTYPE html><body>" + "".join(
+    prefixes = ("<!DOCTYPE html>", "",
+                '<!DOCTYPE html PUBLIC '
+                '"-//W3C//DTD HTML 4.01 Transitional//EN">')
+    for i in range(700):
+        src = prefixes[i % 3] + "<body>" + "".join(
             random.choice(alpha) for _ in range(random.randint(2, 16)))
         try:
             fast = fastparse.parse(src)
