@@ -214,6 +214,28 @@ def q_microdata(spark, sf_dir):
         F.col("text").alias("value"))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Capstone composition: the crawl-frontier prioritizer. robots.txt
+    admission (broadcast longest-prefix match) joined with the host's
+    integer PageRank on the link graph — fetch order = rank of allowed
+    urls.  Every piece is an existing operator; the oracle composes
+    the same two certified SQL derivations."""
+    _views(spark, sf_dir)
+    rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)")))
+    urls = spark.sql(_ROBOTS_URLS_SQL)
+    adm = rb.robots_filter(urls, rules)
+    ranks = lg.pagerank(spark.sql(lg.demo_edges_sql("documents")), iters=5)
+    # host id embedded in the hostname: h<k>.example.org -> node k
+    with_host = adm.selectExpr(
+        "url", "allowed",
+        "cast(substring(split_part(url, '.', 1), 10) as bigint) as hnode")
+    return (
+        with_host.join(ranks.withColumnRenamed("node", "hnode"), "hnode")
+        .selectExpr("url", "allowed", "rank as host_rank",
+                    "case when allowed then rank else -1 end as priority")
+    )
+
+
 def q_css_has_child(spark, sf_dir):
     """Relative :has() (Selectors L4): direct-child and following-
     sibling forms, new in round 3.  article:has(> a.ref) matches when
@@ -1125,6 +1147,7 @@ QUERIES = {
     "css_has_child": q_css_has_child,
     "jsonld_meta": q_jsonld_meta,
     "microdata": q_microdata,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 
@@ -1822,4 +1845,14 @@ ORACLES["microdata"] = (
     " union all select doc_id, 3, 'datePublished', "
     "  '2025-0' || cast(doc_id % 9 + 1 as varchar) "
     "  from documents where doc_id % 2 = 0)"
+)
+
+
+ORACLES["crawl_frontier"] = (
+    "select url, allowed, rank as host_rank, "
+    "case when allowed then rank else -1 end as priority from "
+    f"(select * from ({ORACLES['robots_filter']})) adm "
+    "join (select cast(node as bigint) as hnode, rank from "
+    f"({ORACLES['pagerank']})) pr "
+    "on cast(substring(split_part(url, '.', 1), 10) as bigint) = pr.hnode"
 )
