@@ -27,7 +27,11 @@ def _alphabet():
     for t in _TAGS:
         a.append(f"<{t}>")
         a.append(f"</{t}>")
-    a += ["x", " ", "&amp;", "&notit;", "<!--c-->", "y z", "\r\n"]
+    a += ["x", " ", "&amp;", "&notit;", "<!--c-->", "y z", "\r\n",
+          # attribute edge cases: duplicates, case folding, bare/empty
+          # values, quotes-in-unquoted, stray equals
+          '<div a=1 a=2>', "<p a = 'x y'>", '<b A=1 a=2>', '<i a=>',
+          '<a a="q>z">', '<span a=b=c>', '<u a/>']
     return a
 
 
