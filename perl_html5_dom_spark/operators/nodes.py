@@ -28,6 +28,7 @@ from .extract import parse_document
 NODES_SCHEMA = (
     "url string, node_id bigint, parent_id bigint, ord bigint, "
     "subtree_end bigint, depth int, tag string, ns int, node_type int, "
+    "path string, "
     "text string, attrs map<string,string>, self_closed boolean, "
     "raw_begin bigint, raw_length bigint, elem_begin bigint, elem_length bigint"
 )
@@ -42,14 +43,19 @@ def doc_node_rows(url: str, html) -> list[tuple]:
     pos = doc.order_pos
     end = doc.subtree_end
     depth = {doc.root: 0}
+    paths = [""] * len(doc.parent)
     rows = []
     for nid in order:
         p = doc.parent[nid]
         d = depth.get(p, -1) + 1
         depth[nid] = d
+        if doc.node_type[nid] == ELEMENT_NODE:
+            paths[nid] = (paths[p] + ">" + doc.tag[nid]
+                          if p != -1 and paths[p] else doc.tag[nid])
         rows.append((
             url, nid, p if p != -1 else None, pos[nid], end[nid], d,
             doc.tag[nid], doc.ns[nid], doc.node_type[nid],
+            paths[nid] if doc.node_type[nid] == ELEMENT_NODE else None,
             doc.text[nid],
             dict(doc.attrs[nid]) if doc.attrs[nid] is not None else None,
             bool(doc.self_closed[nid]),
@@ -122,6 +128,23 @@ def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
                 if "node_type" in want:
                     nt = doc.node_type
                     data["node_type"].extend(nt[n] for n in nids)
+                if "path" in want:
+                    # root-to-node tag chain ('html>body>div'); like
+                    # depth, pre-order fills parents first.  The
+                    # site-template detector groups on this column.
+                    par = doc.parent
+                    tag = doc.tag
+                    nt2 = doc.node_type
+                    paths = [""] * len(par)
+                    for n in order:
+                        if nt2[n] != ELEMENT_NODE:
+                            continue
+                        p = par[n]
+                        paths[n] = (paths[p] + ">" + tag[n]
+                                    if p != -1 and paths[p] else tag[n])
+                    data["path"].extend(
+                        paths[n] if nt2[n] == ELEMENT_NODE else None
+                        for n in nids)
                 if "text" in want:
                     text = doc.text
                     data["text"].extend(text[n] for n in nids)
@@ -146,3 +169,31 @@ def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
             yield pd.DataFrame(data, columns=keep)
 
     return df.select("url", "html").mapInPandas(run, schema=schema)
+
+
+def frequent_paths(pages, min_frac: float = 0.9):
+    """Site-template (boilerplate) detection by DOM-path frequency:
+    (path, n_pages, frac, boilerplate) — a root-to-node tag chain that
+    appears on ≥ ``min_frac`` of a site's pages is chrome
+    (header/nav/footer skeletons repeat; article content paths vary).
+    The complement of text-density scoring: structural evidence for
+    the boilerplate strip, computed site-wide instead of per-page.
+
+    Plan: per-page DISTINCT paths (map-side combine inside the
+    aggregate), one partial-agg groupBy(path), and the page total rides
+    in as a broadcast 1-row relation — two narrow shuffles, no driver
+    collect."""
+    from pyspark.sql import functions as F
+
+    nd = nodes_df(pages, elements_only=True, columns=["url", "path"])
+    per_page = nd.distinct()
+    total = pages.agg(F.count("*").alias("n_total"))
+    return (
+        per_page.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "path", "n_pages",
+            "round(n_pages / n_total, 6) as frac",
+            f"n_pages / n_total >= {min_frac} as boilerplate")
+    )

@@ -236,6 +236,14 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
+def q_frequent_paths(spark, sf_dir):
+    """Site-template detection (nodes.frequent_paths): DOM paths on
+    >= 90% of pages are chrome.  The fixed page template yields 18
+    paths — 17 on every page, the article ref-link path on the
+    doc_id % 5 > 0 subset (frac 0.8)."""
+    return nd.frequent_paths(_pages(spark, sf_dir))
+
+
 def q_css_has_child(spark, sf_dir):
     """Relative :has() (Selectors L4): direct-child and following-
     sibling forms, new in round 3.  article:has(> a.ref) matches when
@@ -1148,6 +1156,7 @@ QUERIES = {
     "jsonld_meta": q_jsonld_meta,
     "microdata": q_microdata,
     "crawl_frontier": q_crawl_frontier,
+    "frequent_paths": q_frequent_paths,
 }
 
 
@@ -1855,4 +1864,28 @@ ORACLES["crawl_frontier"] = (
     "join (select cast(node as bigint) as hnode, rank from "
     f"({ORACLES['pagerank']})) pr "
     "on cast(substring(split_part(url, '.', 1), 10) as bigint) = pr.hnode"
+)
+
+
+_TEMPLATE_PATHS = [
+    "html", "html>body", "html>body>aside", "html>body>aside>ul",
+    "html>body>aside>ul>li", "html>body>footer", "html>body>footer>p",
+    "html>body>header", "html>body>header>nav", "html>body>header>nav>a",
+    "html>body>main", "html>body>main>article", "html>body>main>article>h1",
+    "html>body>main>article>p", "html>head", "html>head>meta",
+    "html>head>title",
+]
+
+ORACLES["frequent_paths"] = (
+    "with t as (select count(*) as n from documents), "
+    "r as (select count(*) as n from documents where doc_id % 5 > 0) "
+    + " union all ".join(
+        f"select '{p}' as path, cast((select n from t) as bigint) as n_pages, "
+        "round((select n from t) / (select n from t), 6) as frac, "
+        "true as boilerplate"
+        for p in _TEMPLATE_PATHS)
+    + " union all select 'html>body>main>article>a', "
+    "cast((select n from r) as bigint), "
+    "round((select n from r) / (select n from t), 6), "
+    "(select n from r) / (select n from t) >= 0.9"
 )
