@@ -433,3 +433,23 @@ def test_end_to_end_webtext_pipeline(spark, tmp_path):
     assert len(rows) == final.count() > 0
     assert sum(r.n_tokens for r in rows) == \
         sum(len(r.text.split(" ")) for r in final.select("text").collect())
+
+
+def test_frequent_paths_site_template(spark):
+    from perl_html5_dom_spark.operators.nodes import frequent_paths
+
+    def page(i, extra=""):
+        return (f"https://s/{i}",
+                (f"<body><header><nav>n</nav></header>"
+                 f"<main><p>c{i}</p>{extra}</main></body>").encode())
+
+    pages = spark.createDataFrame(
+        [page(i, extra="<aside>r</aside>" if i < 2 else "")
+         for i in range(10)],
+        "url string, html binary")
+    out = {r.path: r for r in frequent_paths(pages, min_frac=0.9).collect()}
+    assert out["html>body>header>nav"].boilerplate is True
+    assert out["html>body>main>p"].n_pages == 10
+    aside = out["html>body>main>aside"]
+    assert (aside.n_pages, aside.boilerplate) == (2, False)
+    assert abs(aside.frac - 0.2) < 1e-9
