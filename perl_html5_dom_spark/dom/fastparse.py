@@ -521,6 +521,18 @@ class _Fast:
             if tt == "end":
                 tag = token[1]
                 if tag == "body" or tag == "html":
+                    # spec: ignore </body>/</html> when body is NOT in
+                    # scope (an open marker container — applet/marquee/
+                    # object/template — or table part boxes it out)
+                    in_scope = False
+                    for t in reversed(self.tags):
+                        if t == "body":
+                            in_scope = True
+                            break
+                        if t in _SCOPE_STOP:
+                            break
+                    if not in_scope:
+                        continue
                     # spec </body> leaves the tree untouched (unclosed
                     # elements stay open); _after_body bails on ANY char
                     # token, so open/pending formatting can never

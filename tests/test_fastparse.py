@@ -489,3 +489,13 @@ def test_noscript_flips_template_to_body():
     ]
     for src in cases:
         assert_equal_trees(src)
+
+
+def test_body_end_ignored_when_not_in_scope():
+    """</body>/</html> are ignored while a marker container boxes body
+    out of scope — subsequent content stays inside the open container
+    (1-in-240k mega-fuzz find)."""
+    for src in ("<body><applet></body><!--c-->",
+                "<body><marquee></body>x",
+                "<!DOCTYPE html><body><object></html>t"):
+        assert_equal_trees(src)
