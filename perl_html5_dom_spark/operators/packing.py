@@ -30,23 +30,22 @@ def pack_offsets(docs: DataFrame, max_tokens: int = 1024,
     Stream order within a bucket is doc_id asc — reproducible across
     engines and runs.  One shuffle (the per-bucket window); each
     window partition holds ~1/buckets of the corpus."""
+    from pyspark.sql import Window, functions as F
+
     toks = tokens_expr()
     keyed = "'pack:' || cast(doc_id as string)"
     base = docs.selectExpr(
         "doc_id",
         f"cast({H(keyed)} % {buckets} as bigint) as bucket",
         f"cast(size({toks}) as bigint) as n_tokens")
-    base.createOrReplaceTempView("__pack_base")
-    return docs.sparkSession.sql(f"""
-        select doc_id, bucket, n_tokens,
-               cast(cum - n_tokens as bigint) as start_tok,
-               cast(cum as bigint) as end_tok,
-               cast((cum - n_tokens) div {max_tokens} as bigint) as first_chunk,
-               cast((cum - 1) div {max_tokens} as bigint) as last_chunk
-        from (select *, sum(n_tokens) over (partition by bucket
-                    order by doc_id
-                    rows between unbounded preceding and current row) as cum
-              from __pack_base)""")
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return base.withColumn("cum", F.sum("n_tokens").over(w)).selectExpr(
+        "doc_id", "bucket", "n_tokens",
+        "cast(cum - n_tokens as bigint) as start_tok",
+        "cast(cum as bigint) as end_tok",
+        f"cast((cum - n_tokens) div {max_tokens} as bigint) as first_chunk",
+        f"cast((cum - 1) div {max_tokens} as bigint) as last_chunk")
 
 
 def pack_oracle_sql(max_tokens: int = 1024, buckets: int = 32,

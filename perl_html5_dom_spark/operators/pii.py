@@ -24,6 +24,7 @@ this module belongs to the beyond-the-reference training-data layer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from ..util import sql_over
 
 SPARK = "spark"
 DUCK = "duck"
@@ -114,10 +115,8 @@ def pii_redact_sql(dialect: str, source: str) -> str:
 
 
 def pii_scan(docs: DataFrame) -> DataFrame:
-    docs.createOrReplaceTempView("__pii_src")
-    return docs.sparkSession.sql(pii_scan_sql(SPARK, "__pii_src"))
+    return sql_over(lambda v: pii_scan_sql(SPARK, v), docs)
 
 
 def pii_redact(docs: DataFrame) -> DataFrame:
-    docs.createOrReplaceTempView("__pii_src")
-    return docs.sparkSession.sql(pii_redact_sql(SPARK, "__pii_src"))
+    return sql_over(lambda v: pii_redact_sql(SPARK, v), docs)

@@ -29,6 +29,7 @@ unmatched URLs are allowed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from ..util import sql_over
 
 SPARK = "spark"
 DUCK = "duck"
@@ -115,16 +116,12 @@ def match_sql(dialect: str, urls: str = "urls", rules: str = "rules",
 
 def parse_robots(robots: DataFrame) -> DataFrame:
     """(host, robots_txt) → rules relation (see parse_robots_sql)."""
-    robots.createOrReplaceTempView("__robots_src")
-    return robots.sparkSession.sql(
-        parse_robots_sql(SPARK, "__robots_src"))
+    return sql_over(lambda v: parse_robots_sql(SPARK, v), robots)
 
 
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   agent: str = "*") -> DataFrame:
     """urls(url, host, path) × rules → (url, allowed, matched_rule).
     The rules side is broadcast (SQL hint); matching is map-side."""
-    rules.createOrReplaceTempView("__rules_b")
-    urls.createOrReplaceTempView("__urls_src")
-    return urls.sparkSession.sql(
-        match_sql(SPARK, "__urls_src", "__rules_b", agent=agent))
+    return sql_over(
+        lambda vu, vr: match_sql(SPARK, vu, vr, agent=agent), urls, rules)

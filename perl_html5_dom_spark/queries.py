@@ -31,6 +31,7 @@ from .operators import selector_ops as so
 from .operators import similarity as sim
 from .operators import textstats as ts
 from .operators import urlnorm as un
+from . import util as ut
 from .sources import pages as pg
 from .sources import pdfs as pf
 from .sources import warc as wc
@@ -164,17 +165,16 @@ def q_jsonld_meta(spark, sf_dir):
     parses it JVM-side — the schema.org metadata path of a crawl
     pipeline, zero Python past the parse."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
     ld = ("'{\"@type\":\"Article\",\"headline\":\"H' || "
           "cast(doc_id as string) || '\",\"wordCount\":' || "
           "cast(doc_id % 900 + 100 as string) || '}'")
-    pages = spark.sql(
-        "select 'https://example.org/ld/' || cast(doc_id as string) as url, "
+    pages = ut.sql_over(
+        lambda v: "select 'https://example.org/ld/' || cast(doc_id as string) as url, "
         "encode('<!DOCTYPE html><html><head>"
         "<script type=\"application/ld+json\">' || " + ld + " || "
         "'</script><title>T</title></head><body><p>' || text || "
         "'</p></body></html>', 'utf-8') as html "
-        "from __docs_src where doc_id % 3 <> 0")
+        "from " + v + " where doc_id % 3 <> 0", docs)
     raw = so.css_extract(
         pages, 'script[type="application/ld+json"]', what="text")
     return raw.selectExpr(
@@ -192,9 +192,8 @@ def q_microdata(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    pages = spark.sql(
-        "select 'https://example.org/md/' || cast(doc_id as string) as url, "
+    pages = ut.sql_over(
+        lambda v: "select 'https://example.org/md/' || cast(doc_id as string) as url, "
         "encode('<!DOCTYPE html><html><body>"
         "<div itemscope itemtype=\"https://schema.org/Article\">"
         "<h1 itemprop=\"headline\">H' || cast(doc_id as string) || '</h1>"
@@ -203,7 +202,7 @@ def q_microdata(spark, sf_dir):
         "'<time itemprop=\"datePublished\">2025-0' || "
         "cast(doc_id % 9 + 1 as string) || '</time>' else '' end || "
         "'</div></body></html>', 'utf-8') as html "
-        "from __docs_src")
+        "from " + v, docs)
     hits = so.css_extract_multi(pages, "[itemprop]",
                                 whats=("attr:itemprop", "text"))
     w = Window.partitionBy("url").orderBy("ord")
@@ -408,7 +407,11 @@ def q_dedup_exact(spark, sf_dir):
         "text_md5", F.col("n_copies").cast("bigint").alias("n_copies"), "keeper_id")
 
 
-def q_dedup_jaccard(spark, sf_dir):
+def q_dedup_jaccard_exact(spark, sf_dir):
+    """Oracle gold standard: uncapped all-pairs n-gram Jaccard.
+    Deliberately NOT the scale path (O(n^2) in the worst key) --
+    the plain `dedup_jaccard` catalog entry is the max_df-capped
+    production form.  Excluded from sf1+ benches by design."""
     return dd.jaccard_pairs_exact(_corpus(spark, sf_dir), threshold=0.5)
 
 
@@ -420,16 +423,14 @@ def q_url_canonicalize(spark, sf_dir):
     """Crawl url canonicalization: case/port/fragment/tracking-param
     normalization as pure JVM column expressions."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(un.messy_urls_sql(un.SPARK, "__docs_src"))
+    df = ut.sql_over(lambda v: un.messy_urls_sql(un.SPARK, v), docs)
     return un.normalize_urls(df).select("doc_id", "v", "canonical_url")
 
 
 def q_url_dedup(spark, sf_dir):
     """url-duplicate grouping on the canonical key (one shuffle)."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(un.messy_urls_sql(un.SPARK, "__docs_src"))
+    df = ut.sql_over(lambda v: un.messy_urls_sql(un.SPARK, v), docs)
     return un.dedup_by_url(df)
 
 
@@ -470,7 +471,10 @@ def q_ann_topk(spark, sf_dir):
     return sim.brute_force_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
 
 
-def q_cosine_near_dups(spark, sf_dir):
+def q_cosine_near_dups_exact(spark, sf_dir):
+    """Oracle gold standard: exact all-pairs embedding cosine.
+    The plain `cosine_near_dups` catalog entry is the LSH-bucketed
+    scale path.  Excluded from sf1+ benches by design."""
     return sim.cosine_near_dups_exact(_emb(spark, sf_dir), threshold=0.3)
 
 
@@ -481,13 +485,13 @@ def q_ann_topk_lsh(spark, sf_dir):
     return sim.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2], k=5)
 
 
-def q_cosine_near_dups_lsh(spark, sf_dir):
+def q_cosine_near_dups(spark, sf_dir):
     """Scale path for embedding near-dups: LSH bucket equi-join
     candidates + exact cosine verify — no nested-loop join in the plan."""
     return sim.cosine_near_dups_lsh(_emb(spark, sf_dir), threshold=0.3)
 
 
-def q_dedup_jaccard_capped(spark, sf_dir):
+def q_dedup_jaccard(spark, sf_dir):
     """The 100 TB jaccard path: stop-shingles dropped via max_df before
     the shingle self-join (bounds the worst key's fan-out); the oracle
     applies the identical cap."""
@@ -681,8 +685,8 @@ def q_compat_mode(spark, sf_dir):
     """Quirks-mode table parity (reference compatMode, DOM.xs:1256-1268):
     missing doctype and quirky public ids => BackCompat."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(pg.doctype_variant_select_sql(pg.SPARK, "__docs_src"))
+    df = ut.sql_over(
+        lambda v: pg.doctype_variant_select_sql(pg.SPARK, v), docs)
     return df.selectExpr("url", "encode(html_str, 'utf-8') as html").mapInPandas(
         _compat_kernel, schema="url string, compat string")
 
@@ -754,15 +758,14 @@ def q_robots_meta(spark, sf_dir):
     not contain 'noindex'.  doc_id % 4 == 0 pages carry no robots meta
     and emit no row."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
     meta = ("case doc_id % 4 when 0 then '' else "
             "'<meta name=\"robots\" content=\"' || "
             + _ROBOTS_CASE.format(m="doc_id % 4") + " || '\">' end")
-    pages = spark.sql(
-        f"select 'https://example.org/robots/' || cast(doc_id as string) as url, "
+    pages = ut.sql_over(
+        lambda v: f"select 'https://example.org/robots/' || cast(doc_id as string) as url, "
         f"encode('<!DOCTYPE html><html><head>' || {meta} || "
         f"'<title>R</title></head><body><p>' || text || '</p></body></html>', "
-        f"'utf-8') as html from __docs_src")
+        f"'utf-8') as html from {v}", docs)
     hits = so.css_extract(pages, 'meta[name="robots"]', what="attr:content")
     return hits.selectExpr(
         "url", "value as robots",
@@ -1015,17 +1018,16 @@ def q_og_metadata(spark, sf_dir):
     selector; css_extract_multi gets attrs in the same parse) and
     joined on url.  Pages lacking a tag emit null for that column."""
     docs = pg.read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
     og = ("case when doc_id % 3 = 0 then '' else "
           "'<meta property=\"og:title\" content=\"OG ' || cast(doc_id as string) || '\">' "
           "|| '<meta property=\"og:description\" content=\"D' || cast(doc_id % 7 as string) || '\">' end")
     canon = ("case when doc_id % 4 = 0 then '' else "
              "'<link rel=\"canonical\" href=\"https://example.org/c/' || cast(doc_id as string) || '\">' end")
-    pages = spark.sql(
-        f"select 'https://example.org/og/' || cast(doc_id as string) as url, "
+    pages = ut.sql_over(
+        lambda v: f"select 'https://example.org/og/' || cast(doc_id as string) as url, "
         f"encode('<!DOCTYPE html><html><head>' || {og} || {canon} || "
         f"'<title>T</title></head><body><p>' || text || '</p></body></html>', "
-        f"'utf-8') as html from __docs_src")
+        f"'utf-8') as html from {v}", docs)
     metas = so.css_extract_multi(
         pages, 'meta[property^="og:"]', whats=("attr:property", "attr:content"))
     links = so.css_extract(pages, 'link[rel="canonical"]', what="attr:href")
@@ -1091,6 +1093,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_exact": q_dedup_jaccard_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
     "url_canonicalize": q_url_canonicalize,
@@ -1102,10 +1105,9 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "ann_topk": q_ann_topk,
     "cosine_near_dups": q_cosine_near_dups,
-    "cosine_near_dups_lsh": q_cosine_near_dups_lsh,
+    "cosine_near_dups_exact": q_cosine_near_dups_exact,
     "ann_topk_lsh": q_ann_topk_lsh,
-    "dedup_jaccard_capped": q_dedup_jaccard_capped,
-    "adjacent_sibling": q_adjacent_sibling,
+        "adjacent_sibling": q_adjacent_sibling,
     "general_sibling": q_general_sibling,
     "attr_include": q_attr_include,
     "serialize_roundtrip": q_serialize_roundtrip,
@@ -1290,7 +1292,7 @@ ORACLES: dict[str, str] = {
         f"with corpus as ({CORPUS_SQL}) "
         "select md5(text) as text_md5, cast(count(*) as bigint) as n_copies, "
         "min(doc_id) as keeper_id from corpus group by 1 having count(*) > 1",
-    "dedup_jaccard":
+    "dedup_jaccard_exact":
         f"with corpus as ({CORPUS_SQL}), sh as ({_DUCK_SHINGLES}), "
         + _JACCARD_TAIL.format(cand_join=""),
     "dedup_minhash_lsh":
@@ -1441,7 +1443,7 @@ ORACLES: dict[str, str] = {
         "select query_id, cast(rank as bigint) as rank, vec_id, cosine from ("
         " select *, row_number() over (partition by query_id "
         "  order by cosine desc, vec_id) as rank from scored) where rank <= 5",
-    "cosine_near_dups":
+    "cosine_near_dups_exact":
         "with p as (select a.vec_id as a, b.vec_id as b, round("
         " list_sum(list_transform(generate_series(1, len(a.embedding)), "
         "  i -> a.embedding[i]::double * b.embedding[i]::double)) / "
@@ -1449,7 +1451,7 @@ ORACLES: dict[str, str] = {
         "  sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 6) "
         " as cosine from embeddings a join embeddings b on a.vec_id < b.vec_id) "
         "select a, b, cosine from p where cosine >= 0.3",
-    "cosine_near_dups_lsh":
+    "cosine_near_dups":
         f"with b0 as ({sim.lsh_buckets_duck(bits=8, table=0)}), "
         f"b1 as ({sim.lsh_buckets_duck(bits=8, table=1)}), "
         "cand as ("
@@ -1487,7 +1489,7 @@ ORACLES: dict[str, str] = {
         "select query_id, cast(rank as bigint) as rank, vec_id, cosine from ("
         " select *, row_number() over (partition by query_id "
         "  order by cosine desc, vec_id) as rank from scored) where rank <= 5",
-    "dedup_jaccard_capped":
+    "dedup_jaccard":
         f"with corpus as ({CORPUS_SQL}), sh0 as ({_DUCK_SHINGLES}), "
         "keep as (select shingle from sh0 group by shingle having count(*) <= 8), "
         "sh as (select sh0.doc_id, sh0.shingle from sh0 join keep using (shingle)), "

@@ -39,6 +39,7 @@ every downstream operator is unchanged.
 """
 
 from __future__ import annotations
+from ..util import sql_over
 
 SPARK = "spark"
 DUCK = "duck"
@@ -127,8 +128,7 @@ def pages_df(spark, sf_dir: str, replicate: int = 1, partitions: int | None = No
     scale this is the Iceberg ``pages`` table scan instead.
     """
     docs = read_docs(spark, sf_dir, partitions)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(pages_select_sql(SPARK, "__docs_src", replicate))
+    df = sql_over(lambda v: pages_select_sql(SPARK, v, replicate), docs)
     return df.selectExpr(
         "doc_id",
         "url",
@@ -219,8 +219,7 @@ def hostile_select_sql(dialect: str, docs_rel: str) -> str:
 def hostile_pages_df(spark, sf_dir: str):
     """Spark DataFrame (doc_id, url, html binary, text) of hostile pages."""
     docs = read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(hostile_select_sql(SPARK, "__docs_src"))
+    df = sql_over(lambda v: hostile_select_sql(SPARK, v), docs)
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
 
 
@@ -318,8 +317,7 @@ def hostile2_select_sql(dialect: str, docs_rel: str) -> str:
 def hostile2_pages_df(spark, sf_dir: str):
     """Spark DataFrame (doc_id, url, html binary, text) of hostile2 pages."""
     docs = read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(hostile2_select_sql(SPARK, "__docs_src"))
+    df = sql_over(lambda v: hostile2_select_sql(SPARK, v), docs)
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
 
 
@@ -392,8 +390,7 @@ def messy_select_sql(dialect: str, docs_rel: str) -> str:
 
 def messy_pages_df(spark, sf_dir: str):
     docs = read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(messy_select_sql(SPARK, "__docs_src"))
+    df = sql_over(lambda v: messy_select_sql(SPARK, v), docs)
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html", "text")
 
 
@@ -438,8 +435,7 @@ def entity_select_sql(dialect: str, docs_rel: str) -> str:
 
 def entity_pages_df(spark, sf_dir: str):
     docs = read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(entity_select_sql(SPARK, "__docs_src"))
+    df = sql_over(lambda v: entity_select_sql(SPARK, v), docs)
     return df.selectExpr("doc_id", "url", "encode(html_str, 'utf-8') as html")
 
 
@@ -535,8 +531,7 @@ def encoded_pages_df(spark, sf_dir: str):
     utf-16 LE/BE get a BOM.  Byte encoding happens in the Arrow kernel —
     Spark's ``encode()`` only supports unicode charsets."""
     docs = read_docs(spark, sf_dir)
-    docs.createOrReplaceTempView("__docs_src")
-    df = spark.sql(pages_select_sql(SPARK, "__docs_src"))
+    df = sql_over(lambda v: pages_select_sql(SPARK, v), docs)
 
     def run(batches):
         import codecs

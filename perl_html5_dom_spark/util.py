@@ -1,0 +1,40 @@
+"""Session-shared SparkSession hygiene helpers.
+
+Several operators lower dialect-portable SQL (the same text a DuckDB
+oracle runs) onto Spark via temp views.  A fixed view name is fine for
+a single job but collides when two jobs interleave on one shared
+SparkSession — :func:`sql_over` gives every call its own name and
+drops it immediately (``spark.sql`` analyzes eagerly, so the returned
+DataFrame no longer needs the view).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+_counter = itertools.count()
+
+
+def sql_over(builder: Callable[..., str], *dfs: DataFrame,
+             prefix: str = "__v") -> DataFrame:
+    """Run ``builder(name1, name2, ...)`` SQL over the given DataFrames.
+
+    Each DataFrame is registered under a collision-free unique temp-view
+    name; the views are dropped before returning (analysis is eager in
+    ``spark.sql``), so concurrent jobs sharing one SparkSession never
+    observe each other's views.
+    """
+    spark = dfs[0].sparkSession
+    names = []
+    for df in dfs:
+        name = f"{prefix}_{next(_counter)}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    try:
+        return spark.sql(builder(*names))
+    finally:
+        for n in names:
+            spark.catalog.dropTempView(n)
