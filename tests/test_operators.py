@@ -279,3 +279,38 @@ def test_pack_offsets_contiguous_streams(spark):
             cursor = r.end_tok
     # documents DO span chunk boundaries (the concat-and-chunk layout)
     assert any(r.first_chunk != r.last_chunk for r in rows)
+
+
+# 1x1 transparent PNG (well-known minimal fixture)
+_PNG_1X1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d4944415478da63fcffffff3f0300050201edf2977f0000000049454e44"
+    "ae426082")
+
+
+def test_decode_image_kernel_fake_and_real():
+    import pandas as pd
+    import pytest
+
+    from perl_html5_dom_spark.queries import _decode_image_kernel
+
+    fake = b"FAKEIMG1;w=12;h=7;" + b"\x00" * 3
+    [out] = list(_decode_image_kernel(
+        [pd.DataFrame({"doc_id": [1], "image": [fake]})]))
+    assert (out.width[0], out.height[0], out.n_bytes[0]) == (12, 7, len(fake))
+
+    # real PNG magic: decodes via Pillow when present, otherwise the
+    # honest NotImplementedError guard fires
+    batch = [pd.DataFrame({"doc_id": [2], "image": [_PNG_1X1]})]
+    try:
+        import PIL  # noqa: F401
+        [out] = list(_decode_image_kernel(batch))
+        assert (out.width[0], out.height[0]) == (1, 1)
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            list(_decode_image_kernel(batch))
+
+    # unknown payloads never decode silently
+    with pytest.raises(NotImplementedError):
+        list(_decode_image_kernel(
+            [pd.DataFrame({"doc_id": [3], "image": [b"garbage"]})]))
