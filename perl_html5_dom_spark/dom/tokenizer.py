@@ -83,14 +83,12 @@ def decode_entities_attr(value: str) -> str:
         end = m.end()
         if body[0] == "#" or body.endswith(";"):
             if body[0] != "#" and body not in _HTML5_ENTITIES:
-                # unknown named entity with ';' — try longest legacy prefix
-                repl = None
-                stem = body[:-1]
-                for name in _LEGACY_NAMES:
-                    if stem.startswith(name):
-                        repl = _HTML5_ENTITIES[name] + stem[len(name):] + ";"
-                        break
-                out.append(repl if repl is not None else "&" + body)
+                # unknown named entity with ';': in ATTRIBUTES the legacy
+                # prefix never expands — the max-munch match ends on a
+                # non-';' char whose successor is alnum (entity names are
+                # alnum), which §13.2.5.73 flushes literally.  (&noti; →
+                # "&noti;" here but "¬i;" in text; html5lib entities02.)
+                out.append("&" + body)
             else:
                 out.append(_html.unescape("&" + body))
             i = end
