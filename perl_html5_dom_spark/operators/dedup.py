@@ -94,8 +94,15 @@ def _minhash_wide(sh: DataFrame, num_perm: int = 16) -> DataFrame:
     ride the same map-side combine — the shuffle carries one narrow row
     per doc, not num_perm fan-out rows (the SimHash conditional-sum
     pattern; replaces the round-1 broadcast-join fan-out that cost 54%
-    of the bench suite)."""
-    hashed = sh.selectExpr("doc_id", f"{H('shingle')} % {P} as hs")
+    of the bench suite).
+
+    Accepts either (doc_id, shingle) strings or an already-hashed
+    (doc_id, hs) table — minhash_near_dups hashes once up front so the
+    verify join rides the same materialization."""
+    if "hs" in sh.columns:
+        hashed = sh.selectExpr("doc_id", f"hs % {P} as hs")
+    else:
+        hashed = sh.selectExpr("doc_id", f"{H('shingle')} % {P} as hs")
     aggs = []
     for j in range(num_perm):
         a, b = perm_params(j)
@@ -200,11 +207,17 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     """LSH candidates → exact Jaccard verification (a, b, jaccard).
 
     One shingle explode feeds BOTH the signature build and the verify
-    join (materialized once); signatures come from the single-pass wide
+    join (materialized once, already HASHED to 60-bit longs: the verify
+    stage dominates this operator's wall time, and shuffling 8-byte
+    hashes instead of ~20-byte shingle strings cut the round-4 ladder's
+    verify bytes ~3x); signatures come from the single-pass wide
     aggregate (_minhash_wide) and band keys from a pure projection — the
     only shuffles are the signature groupBy, the bucket self-join, and
-    the verify equi-join."""
-    sh = _materialize(_shingles(docs, k))  # sizes + verify join sides
+    the verify equi-join.  Hash semantics are engine-mirrored: both
+    sides take distinct shingle STRINGS per doc, then operate purely on
+    H(shingle), so the DuckDB oracle reproduces counts bit-for-bit."""
+    sh = _materialize(  # sizes + verify join sides, hashed once
+        _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} as hs"))
     buckets = _materialize(  # self-joined below
         _band_keys(_minhash_wide(sh, num_perm), num_perm, bands))
     l, r = buckets.alias("l"), buckets.alias("r")
@@ -215,10 +228,10 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # equi-join on (doc, shingle) both sides — never |A|x|B| per pair
+    # equi-join on (doc, hash) both sides — never |A|x|B| per pair
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
+        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "hs"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )

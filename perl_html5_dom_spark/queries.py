@@ -1270,6 +1270,16 @@ _JACCARD_TAIL = (
     "where inter / (sa.n + sb.n - inter) >= 0.5"
 )
 
+_JACCARD_TAIL_H = (  # same tail over the hashed shingle table shh
+    "sizes as (select doc_id, count(*) as n from shh group by doc_id), "
+    "inter as (select x.doc_id as a, y.doc_id as b, count(*) as inter "
+    " from shh x join shh y on x.h = y.h and x.doc_id < y.doc_id "
+    "{cand_join} group by 1, 2) "
+    "select a, b, round(inter / (sa.n + sb.n - inter), 6) as jaccard "
+    "from inter join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b "
+    "where inter / (sa.n + sb.n - inter) >= 0.5"
+)
+
 ORACLES: dict[str, str] = {
     "extract_main_text":
         f"{PAGES_CTE} select url, text as main_text from pages",
@@ -1360,8 +1370,11 @@ ORACLES: dict[str, str] = {
         f"with corpus as ({CORPUS_SQL}), sh as ({_DUCK_SHINGLES}), "
         + _JACCARD_TAIL.format(cand_join=""),
     "dedup_minhash_lsh":
+        # verify runs on H(shingle) longs on BOTH engines (the operator
+        # shuffles 8-byte hashes, not strings; semantics mirrored here)
         f"with corpus as ({CORPUS_SQL}), sh as ({_DUCK_SHINGLES}), "
-        f"hs as (select doc_id, {_DH.format(s='shingle')} % {_P} as hs from sh), "
+        f"shh as (select doc_id, {_DH.format(s='shingle')} as h from sh), "
+        f"hs as (select doc_id, h % {_P} as hs from shh), "
         f"perms as (select * from (values {_PERM_VALUES}) v(j, a, b)), "
         f"sig as (select doc_id, j, min((a * hs + b) % {_P}) as mh "
         f" from hs, perms group by 1, 2), "
@@ -1369,7 +1382,7 @@ ORACLES: dict[str, str] = {
         f" sum(mh) as bk2 from sig group by 1, 2), "
         f"cand as (select distinct l.doc_id as a, r.doc_id as b from band l "
         f" join band r using (band, bk1, bk2) where l.doc_id < r.doc_id), "
-        + _JACCARD_TAIL.format(
+        + _JACCARD_TAIL_H.format(
             cand_join="join cand on cand.a = x.doc_id and cand.b = y.doc_id"),
     "dedup_simhash":
         f"with corpus as ({CORPUS_SQL}), "
@@ -1984,7 +1997,8 @@ ORACLES["webtext_pipeline"] = (
     "corpus as (select corpus0.doc_id, text from corpus0 "
     " join q using (doc_id) where quality >= 0.75), "
     "sh as (" + _DUCK_SHINGLES + "), "
-    f"hs as (select doc_id, {_DH.format(s='shingle')} % {_P} as hs from sh), "
+    f"shh as (select doc_id, {_DH.format(s='shingle')} as h from sh), "
+    f"hs as (select doc_id, h % {_P} as hs from shh), "
     f"perms as (select * from (values {_PERM_VALUES}) v(j, a, b)), "
     f"sig as (select doc_id, j, min((a * hs + b) % {_P}) as mh "
     " from hs, perms group by 1, 2), "
@@ -1992,9 +2006,9 @@ ORACLES["webtext_pipeline"] = (
     " sum(mh) as bk2 from sig group by 1, 2), "
     "cand as (select distinct l.doc_id as a, r.doc_id as b from band l "
     " join band r using (band, bk1, bk2) where l.doc_id < r.doc_id), "
-    "sizes as (select doc_id, count(*) as n from sh group by doc_id), "
+    "sizes as (select doc_id, count(*) as n from shh group by doc_id), "
     "inter as (select x.doc_id as a, y.doc_id as b, count(*) as inter "
-    " from sh x join sh y on x.shingle = y.shingle and x.doc_id < y.doc_id "
+    " from shh x join shh y on x.h = y.h and x.doc_id < y.doc_id "
     " join cand on cand.a = x.doc_id and cand.b = y.doc_id group by 1, 2), "
     "pairs as (select a, b from inter "
     " join sizes sa on sa.doc_id = a join sizes sb on sb.doc_id = b "
