@@ -177,6 +177,12 @@ def main() -> None:
     from perl_html5_dom_spark.operators import events as ev
     bench("sessionize", lambda: ev.sessionize(
         spark.read.parquet(f"{sf_dir}/events.parquet")).count())
+    # q8: the composed production pipeline (parse+extract -> quality ->
+    # minhash dedup keep -> split -> pack) — the end-to-end number a
+    # curation run pays per corpus pass
+    from perl_html5_dom_spark.queries import q_webtext_pipeline
+    bench("webtext_pipeline",
+          lambda: q_webtext_pipeline(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

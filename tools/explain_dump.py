@@ -169,6 +169,13 @@ def main() -> None:
          "One Exchange on the md5 bucket key; the running-sum window "
          "runs per bucket in parallel — no global ordering bottleneck.")
 
+    grab("MinHash near-dup verify: hashed equi-joins",
+         dedup.minhash_near_dups(docs.selectExpr("doc_id", "text"), 0.5),
+         "The verify Exchanges must carry hs#…L (8-byte longs), never "
+         "shingle strings: the shingle table is hashed once at its "
+         "materialization and feeds signatures AND verify — the "
+         "round-4 ladder change (BENCH/BASELINE.md).")
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
         f.write("Generated by tools/explain_dump.py; re-run after plan "
