@@ -273,6 +273,53 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "struct(pos, line))), s -> s.line), '\n') as text_dedup")))
 
 
+def duplicated_ngrams(docs: DataFrame, k: int = 8,
+                      text_col: str = "text") -> DataFrame:
+    """Per-document corpus-duplication signal in the style of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"), approximated at k-token
+    granularity: every token position starts a k-gram, and a position
+    counts as DUPLICATED when its k-gram occurs anywhere else in the
+    corpus (the corpus-first occurrence by (doc_id, pos) stays
+    original).  A curation run drops or trims documents above a
+    dup_frac threshold.  Returns (doc_id, n_grams, n_dup, dup_frac);
+    documents shorter than k tokens emit no row.
+
+    Scale shape — no suffix array, no global sort: position k-grams
+    are hashed to 60-bit longs map-side, the per-hash stats are ONE
+    partial-aggregable groupBy (count + min of an integer-encoded
+    (doc_id, pos) key), flagged positions come back via a single
+    equi-join on the hash, and the per-doc rollup combines map-side.
+    Three narrow shuffles total, each carrying 8-byte keys."""
+    parts = " || ' ' || ".join(f"element_at(t, i + {d})" for d in range(k))
+    grams = (
+        docs.selectExpr("doc_id", f"{tokens_expr(text_col)} as t")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(case when size(t) >= {k} then "
+            f"transform(sequence(1, size(t) - {k - 1}), i -> {parts}) "
+            "else array() end) as (pos, gram)")
+        .selectExpr("doc_id", "pos", f"{H('gram')} as h")
+    )
+    grams = _materialize(grams)  # both sides of the flag join
+    # first occurrence as ONE bigint (pos < 2^20 by construction here;
+    # the encoding only has to be order-isomorphic and engine-mirrored)
+    stats = grams.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.expr("doc_id * 1048576 + pos")).alias("first_key"))
+    return (
+        grams.join(stats, "h")
+        .selectExpr(
+            "doc_id",
+            "cast(cnt > 1 and doc_id * 1048576 + pos <> first_key as int) as dup")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("dup").alias("n_dup"))
+        .selectExpr("doc_id", "cast(n_grams as bigint) as n_grams",
+                    "cast(n_dup as bigint) as n_dup",
+                    "round(n_dup / n_grams, 6) as dup_frac")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): weighted-token sign fingerprint.
 

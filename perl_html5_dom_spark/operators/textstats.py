@@ -200,6 +200,24 @@ def corpus_split(docs: DataFrame, weights: dict[str, int] | None = None,
     ).selectExpr("doc_id", "bucket", f"{case} as split")
 
 
+def corpus_sample(docs: DataFrame, rates: dict[str, int],
+                  default: int = 1000) -> DataFrame:
+    """(doc_id, source, bucket, keep): deterministic source-weighted
+    corpus sampling — the mixture-construction step of a training run
+    (per-source sampling rates in permille, e.g. wiki oversampled,
+    crawl downsampled).  The bucket is H('sample:' || doc_id) % 1000,
+    so the draw is reproducible across runs/engines and independent of
+    partitioning; sources absent from ``rates`` keep ``default``
+    permille.  Pure projection: zero shuffle, cost == the scan."""
+    case = "case source " + " ".join(
+        f"when '{s}' then {r}" for s, r in rates.items()) + f" else {default} end"
+    keyed = "'sample:' || cast(doc_id as string)"
+    return docs.selectExpr(
+        "doc_id", "source",
+        f"cast({H(keyed)} % 1000 as bigint) as bucket",
+    ).selectExpr("doc_id", "source", "bucket", f"bucket < {case} as keep")
+
+
 def distinctive_terms(docs: DataFrame, k: int = 3,
                       min_len: int = 1) -> DataFrame:
     """(doc_id, term, tf, df, rk): the k most distinctive terms per

@@ -1129,6 +1129,24 @@ def q_webtext_pipeline(spark, sf_dir):
     return pk.pack_offsets(final, max_tokens=256, buckets=8)
 
 
+def q_duplicated_ngrams(spark, sf_dir):
+    """Exact-substring-dedup signal (Lee et al. 2022 style, k-token
+    granularity) over the dup-heavy corpus: per-doc count/fraction of
+    8-gram positions duplicated elsewhere in the corpus."""
+    _views(spark, sf_dir)
+    return dd.duplicated_ngrams(spark.sql(CORPUS_SQL), k=8)
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic source-weighted mixture sampling: src0 dropped,
+    src1-3 at 250/500/750 permille, everything else kept."""
+    _views(spark, sf_dir)
+    return ts.corpus_sample(
+        spark.table("documents"),
+        {"src0": 0, "src1": 250, "src2": 500, "src3": 750})
+
+
+
 # Ordered catalog: the driver's correctness gate certifies the FIRST
 # 50 entries, so that window is curated to sample every operator
 # family (VERDICT r3 finding #1); the remainder (alphabetical) stays
@@ -1193,10 +1211,12 @@ QUERIES = {
     "compat_mode": q_compat_mode,
     "cosine_near_dups_exact": q_cosine_near_dups_exact,
     "crawl_delta": q_crawl_delta,
+    "corpus_sample": q_corpus_sample,
     "css_contains": q_css_contains,
     "dedup_jaccard_exact": q_dedup_jaccard_exact,
     "distinctive_terms": q_distinctive_terms,
     "entity_text": q_entity_text,
+    "duplicated_ngrams": q_duplicated_ngrams,
     "events_json": q_events_json,
     "events_windowed": q_events_windowed,
     "extract_inner_text": q_extract_inner_text,
@@ -2022,4 +2042,33 @@ ORACLES["webtext_pipeline"] = (
     " join comp on comp.node = c.doc_id and comp.node = comp.component "
     f" where {_SPLIT_BUCKET} < 98), "
     + pk.pack_oracle_sql(max_tokens=256, buckets=8, source="final")[len("with "):]
+)
+
+
+_G8 = " || ' ' || ".join(f"t[pos + {d}]" for d in range(8))
+ORACLES["duplicated_ngrams"] = (
+    f"with corpus as ({CORPUS_SQL}), "
+    "tt as (select doc_id, string_split(text, ' ') as t from corpus), "
+    f"g as (select doc_id, pos, {_G8} as gram from "
+    " (select doc_id, t, unnest(generate_series(1, len(t) - 7)) as pos "
+    "  from tt where len(t) >= 8)), "
+    f"hg as (select doc_id, pos, {_DH.format(s='gram')} as h from g), "
+    "stats as (select h, count(*) as cnt, "
+    " min(doc_id * 1048576 + pos) as first_key from hg group by 1), "
+    "f as (select doc_id, cast(cnt > 1 and "
+    " doc_id * 1048576 + pos <> first_key as int) as dup "
+    " from hg join stats using (h)) "
+    "select doc_id, cast(count(*) as bigint) as n_grams, "
+    "cast(sum(dup) as bigint) as n_dup, "
+    "round(sum(dup) / count(*), 6) as dup_frac from f group by doc_id"
+)
+
+_SAMPLE_CASE = ("case source when 'src0' then 0 when 'src1' then 250 "
+                "when 'src2' then 500 when 'src3' then 750 else 1000 end")
+ORACLES["corpus_sample"] = (
+    "with b as (select doc_id, source, "
+    + _DH.format(s="'sample:' || cast(doc_id as varchar)")
+    + " % 1000 as bucket from documents) "
+    "select doc_id, source, cast(bucket as bigint) as bucket, "
+    f"bucket < {_SAMPLE_CASE} as keep from b"
 )

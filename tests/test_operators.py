@@ -314,3 +314,42 @@ def test_decode_image_kernel_fake_and_real():
     with pytest.raises(NotImplementedError):
         list(_decode_image_kernel(
             [pd.DataFrame({"doc_id": [3], "image": [b"garbage"]})]))
+
+
+def test_duplicated_ngrams(spark):
+    from perl_html5_dom_spark.operators.dedup import duplicated_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i"),       # 2 positions, corpus-first
+         (1, "a b c d e f g h i"),       # same grams -> both duplicated
+         (2, "q w e r t y u i o p"),     # 3 unique positions
+         (3, "x y")],                    # < k tokens -> no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_ngrams(docs, k=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_grams, out[0].n_dup) == (2, 0)
+    assert (out[1].n_grams, out[1].n_dup) == (2, 2)
+    assert out[1].dup_frac == 1.0
+    assert (out[2].n_grams, out[2].n_dup) == (3, 0)
+
+
+def test_corpus_sample(spark):
+    from perl_html5_dom_spark.operators.textstats import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "drop" if i % 3 == 0 else ("half" if i % 3 == 1 else "keep"))
+         for i in range(300)],
+        "doc_id long, text string, source string")
+    out = corpus_sample(docs, {"drop": 0, "half": 500}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    assert all(not r.keep for r in by["drop"])           # rate 0
+    assert all(r.keep for r in by["keep"])               # default 1000
+    kept_half = sum(r.keep for r in by["half"])
+    assert 20 < kept_half < 80                           # ~50% of 100
+    assert all(r.keep == (r.bucket < 500) for r in by["half"])
+    # deterministic: same draw on a second invocation
+    again = {r.doc_id: r.keep for r in
+             corpus_sample(docs, {"drop": 0, "half": 500}).collect()}
+    assert all(again[r.doc_id] == r.keep for r in out)
