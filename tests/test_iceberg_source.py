@@ -1,0 +1,57 @@
+"""Pages-table source boundary: schema contract + parquet fallback
+(the Iceberg runtime is absent in this sandbox; the fallback exercises
+the identical calling contract)."""
+
+import pytest
+
+
+@pytest.fixture()
+def pages_path(spark, tmp_path):
+    from perl_html5_dom_spark.sources.iceberg import write_pages
+    from perl_html5_dom_spark.sources.pages import pages_df
+
+    df = pages_df(spark, "/root/testdata/sf0.001").select(
+        "url", "warc_ts", "html", "text", "lang")
+    path = str(tmp_path / "pages_tbl")
+    write_pages(df, path, mode="overwrite")
+    return path
+
+
+def test_roundtrip_and_projection(spark, pages_path):
+    from perl_html5_dom_spark.sources.iceberg import pages_table
+
+    df = pages_table(spark, pages_path)
+    assert df.count() == 500
+    pruned = pages_table(spark, pages_path, columns=["url", "html"])
+    assert pruned.columns == ["url", "html"]
+    # the extraction kernel runs unchanged on the table source
+    from perl_html5_dom_spark.operators.extract import extract_pages
+    out = extract_pages(pruned, span_selector=None, fields=["url", "title"])
+    assert out.count() == 500
+
+
+def test_append_mode(spark, pages_path):
+    from perl_html5_dom_spark.sources.iceberg import pages_table, write_pages
+
+    df = pages_table(spark, pages_path)
+    write_pages(df, pages_path, mode="append")
+    assert pages_table(spark, pages_path).count() == 1000
+
+
+def test_schema_contract_enforced(spark, tmp_path):
+    from perl_html5_dom_spark.sources.iceberg import pages_table
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([("u", "not-binary")],
+                          "url string, html string").write.parquet(bad)
+    with pytest.raises(ValueError, match="html.*string.*binary"):
+        pages_table(spark, bad, columns=["url", "html"])
+    with pytest.raises(ValueError, match="missing column"):
+        pages_table(spark, bad, columns=["url", "warc_ts"])
+
+
+def test_time_travel_rejected_on_fallback(spark, pages_path):
+    from perl_html5_dom_spark.sources.iceberg import pages_table
+
+    with pytest.raises(ValueError, match="time travel"):
+        pages_table(spark, pages_path, snapshot_id=7)
