@@ -1848,9 +1848,86 @@ DAT7 = r'''
 '''
 
 
+# Round-4 family #8: small remainder set — in-head noscript under
+# the default scripting-ON flag (rawtext; the scripts=False
+# in-head-noscript mode is pinned in test_treebuilder),
+# h1->h2 implied close, after-body comment placement,
+# and the bogus-comment tokenizer states (<? markup declaration,
+# abrupt <!-->, end-tag-with-space </ p>).
+DAT8 = r'''
+#data
+<!DOCTYPE html><head><noscript><link href="a"><div>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|     <noscript>
+|       "<link href="a"><div>x"
+|   <body>
+
+#data
+<!DOCTYPE html><h1>a<h2>b
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <h1>
+|       "a"
+|     <h2>
+|       "b"
+
+#data
+<!DOCTYPE html><body>x</body><!--c-->
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|   <!-- c -->
+
+#data
+<!DOCTYPE html><p>a<?php echo ?>b
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <!-- ?php echo ? -->
+|       "b"
+
+#data
+<!DOCTYPE html><p>a<!-->b
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <!--  -->
+|       "b"
+
+#data
+<!DOCTYPE html><p>a</ p>b
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <!--  p -->
+|       "b"
+'''
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
-         + parse_dat(DAT7))
+         + parse_dat(DAT7) + parse_dat(DAT8))
 
 
 @pytest.mark.parametrize("src,frag_ctx,expected", CASES,

@@ -103,6 +103,7 @@ def selftest() -> int:
         (Path(td) / "goldens5.dat").write_text(G.DAT5.strip("\n") + "\n")
         (Path(td) / "goldens6.dat").write_text(G.DAT6.strip("\n") + "\n")
         (Path(td) / "goldens7.dat").write_text(G.DAT7.strip("\n") + "\n")
+        (Path(td) / "goldens8.dat").write_text(G.DAT8.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
