@@ -41,6 +41,7 @@ class ChunkedParser:
     def __init__(self) -> None:
         tb = TreeBuilder()
         tb.doc = Document()
+        tb.doc.scripting = tb.scripts
         tb.tok = Tokenizer("")
         tb.stack = []
         tb.mode = "initial"

@@ -35,6 +35,7 @@ class Document:
         "raw_begin", "raw_length", "elem_begin", "elem_length",
         "root", "html_node", "head_node", "body_node",
         "doctype_node", "quirks", "encoding", "fragment_context",
+        "scripting", "fostered", "misnested",
         "_order", "_order_pos", "_subtree_end", "_dirty",
     )
 
@@ -62,6 +63,9 @@ class Document:
         self.body_node = NULL
         self.doctype_node = NULL
         self.quirks = False
+        self.scripting: bool = True  # parse-time scripts flag (serializer: noscript literal text)
+        self.fostered: bool = False  # any node foster-parented during parse (serialize round-trip is spec-lossy then)
+        self.misnested: bool = False  # AFE reconstruction / adoption-agency moved nodes (round-trip spec-lossy)
         self.encoding = "utf-8"
         self.fragment_context: str | None = None
 

@@ -98,7 +98,13 @@ def serialize(doc: Document, nid: int, inner: bool = False) -> str:
             text = doc.text[node] or ""
             p = doc.parent[node]
             if p != NULL and nt_arr[p] == ELEMENT_NODE and \
-                    doc.ns[p] == NS_HTML and tag_arr[p] in LITERAL_TEXT_TAGS:
+                    doc.ns[p] == NS_HTML and (
+                        tag_arr[p] in LITERAL_TEXT_TAGS
+                        # spec: noscript serializes literally ONLY
+                        # when the doc was parsed with scripting on
+                        # (its content IS raw text then)
+                        or (tag_arr[p] == "noscript"
+                            and getattr(doc, "scripting", True))):
                 out.append(text)
             else:
                 out.append(escape_text(text))
@@ -113,6 +119,15 @@ def serialize(doc: Document, nid: int, inner: bool = False) -> str:
             out.append(node_open_tag(doc, node))
             if doc.ns[node] == NS_HTML and tag_arr[node] in VOID_TAGS:
                 continue
+            # spec 13.3 "serializing HTML fragments": pre/textarea/listing
+            # re-emit the newline the parser will strip, else round-trip
+            # loses it (round-4 fuzz find)
+            if doc.ns[node] == NS_HTML and \
+                    tag_arr[node] in ("pre", "textarea", "listing"):
+                fc = doc.first_child[node]
+                if fc != NULL and nt_arr[fc] == TEXT_NODE and \
+                        (doc.text[fc] or "").startswith("\n"):
+                    out.append("\n")
             if doc.self_closed[node] and doc.ns[node] != NS_HTML:
                 continue
             stack.append((node, True))

@@ -31,7 +31,11 @@ __all__ = ["Tokenizer", "decode_entities_attr"]
 _WS = "\t\n\x0c "
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\x0c />]*")
-_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c />=][^\t\n\x0c />=]*|=+[^\t\n\x0c />=]*")
+# attribute names: only the FIRST character may be '=' (13.2.5.32
+# unexpected-equals-sign-before-attribute-name starts the name with it;
+# any LATER '=' terminates the name and starts the value — the old
+# `=+` form swallowed a second '=' plus quote chars, round-4 fuzz find)
+_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c />=][^\t\n\x0c />=]*|=[^\t\n\x0c />=]*")
 _UNQUOTED_VAL_RE = re.compile(r"[^\t\n\x0c >]*")
 _DOCTYPE_RE = re.compile(r"doctype", re.IGNORECASE)
 

@@ -96,6 +96,7 @@ class TreeBuilder:
     # ==================================================================
     def parse(self, src: str) -> Document:
         self.doc = Document()
+        self.doc.scripting = self.scripts
         self.tok = Tokenizer(src)
         self._run()
         return self.doc
@@ -105,6 +106,7 @@ class TreeBuilder:
                        doc: Document | None = None) -> tuple[Document, int]:
         """Fragment parsing (WHATWG §13.4). Returns (doc, fragment_node)."""
         self.doc = doc if doc is not None else Document()
+        self.doc.scripting = self.scripts
         self.tok = Tokenizer(src)
         self.fragment_context_tag = context_tag
         self.fragment_context_ns = context_ns
@@ -237,12 +239,14 @@ class TreeBuilder:
             for i in range(len(self.stack) - 1, -1, -1):
                 n = self.stack[i]
                 if doc.tag[n] == "table" and doc.ns[n] == NS_HTML:
+                    doc.fostered = True
                     p = doc.parent[n]
                     if p != NULL:
                         return p, n
                     return self.stack[i - 1], NULL
                 if doc.tag[n] == "template" and doc.ns[n] == NS_HTML:
                     return n, NULL
+            doc.fostered = True
             return self.stack[0], NULL
         return target, NULL
 
@@ -441,6 +445,7 @@ class TreeBuilder:
             if entry is MARKER or entry[0] in self.stack:
                 i += 1
                 break
+        self.doc.misnested = True
         while i < len(afe):
             entry = afe[i]
             nid = self.doc.new_element(entry[1], NS_HTML,
@@ -463,6 +468,7 @@ class TreeBuilder:
                 if not in_afe:
                     self.stack.pop()
                     return
+        self.doc.misnested = True
         for _ in range(8):  # outer loop
             entry = self._afe_find(tag)
             if entry is None:
@@ -2011,6 +2017,24 @@ class TreeBuilder:
             return
         if tt == "end":
             tag = token[1]
+            if tag in ("br", "p"):
+                # spec: an end tag br/p in foreign content is a parse
+                # error handled EXACTLY like a breakout start tag — pop
+                # to an HTML/integration-point node, reprocess as HTML
+                # (round-4 fuzz find: </br> nested the br inside the
+                # foreign subtree instead of breaking out)
+                while True:
+                    n = self.stack[-1]
+                    ns, t = doc.ns[n], doc.tag[n]
+                    if ns == NS_HTML:
+                        break
+                    if ns == NS_MATHML and t in MATHML_TEXT_INTEGRATION:
+                        break
+                    if self._is_html_integration(n, ns, t):
+                        break
+                    self.stack.pop()
+                self._process(token)
+                return
             node_i = len(self.stack) - 1
             node = self.stack[node_i]
             if doc.tag[node].lower() != tag:

@@ -126,12 +126,10 @@ def test_serialize_known_lossy_corners():
     (browsers' innerHTML behaves identically — this is a property of
     the format, not of this serializer):
 
-    1. foreign content holding an HTML-breakout child: <svg><p> parses
-       nested, but reparsing the serialization breaks the <p> out;
-    2. foster-parented content: text/elements hoisted before a <table>
+    1. foster-parented content: text/elements hoisted before a <table>
        serialize ahead of it, so the reparse never enters table mode
        at that point and sibling/nesting rules differ;
-    3. nested forms: </form> removes the form from the stack but not
+    2. nested forms: </form> removes the form from the stack but not
        the tree, so a later <form> can nest inside it — on reparse the
        form-pointer ignore rule fires instead.
     """
@@ -146,7 +144,9 @@ def test_serialize_known_lossy_corners():
 
     # the lossy corners — locked as NOT round-tripping, so a future
     # serializer change that silently alters them is caught
-    assert not roundtrips("<!DOCTYPE html><body><a><svg></p><math>")
+    # (</p> in foreign BREAKS OUT since the round-4 fix, so that shape
+    # round-trips now — locked on the round-trip side below)
+    assert roundtrips("<!DOCTYPE html><body><a><svg></p><math>")
     assert not roundtrips(
         "<!DOCTYPE html><body><li><table><li><span>x")
     assert not roundtrips(
@@ -154,3 +154,47 @@ def test_serialize_known_lossy_corners():
     # the nearby safe shapes DO round-trip
     assert roundtrips("<!DOCTYPE html><body><svg><circle></svg>")
     assert roundtrips("<!DOCTYPE html><body><table><td>x</table><li>y")
+
+
+def test_round4_fuzz_fixes_roundtrip():
+    """Regression lock for the round-4 fuzz campaign finds: each shape
+    must serialize -> reparse -> serialize to a fixpoint."""
+    from perl_html5_dom_spark.dom.serializer import serialize
+    from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+
+    def fix(src):
+        t1 = TreeBuilder().parse(src)
+        s1 = serialize(t1, t1.root)
+        t2 = TreeBuilder().parse(s1)
+        return s1 == serialize(t2, t2.root)
+
+    # 1. noscript rawtext emits literally under scripting-on
+    assert fix("<head><noscript><b>&AMP</noscript>")
+    # 2. pre/textarea/listing re-emit the newline parsing strips
+    assert fix("<pre>\n\nx</pre>")
+    assert fix("<textarea>\n\ny</textarea>")
+    assert fix("<listing>\n\nz</listing>")
+    # 3. </br> and </p> in foreign content break out to HTML
+    assert fix("<svg><g></br>x")
+    assert fix("<body><a><svg></p><math>")
+    # 4. '=' attribute names: a second '=' terminates the name
+    assert fix("<i = >x")
+    assert fix("<i ==x>y")
+    assert fix('<i ="q">y')
+
+
+def test_attr_name_equals_forms():
+    """13.2.5.32: only the FIRST char of an attribute name may be '=';
+    a later '=' starts the value."""
+    from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+
+    def attrs(src):
+        d = TreeBuilder().parse(src)
+        for i, t in enumerate(d.tag):
+            if t == "i":
+                return d.attrs[i]
+
+    assert attrs("<i = >") == {"=": ""}
+    assert attrs("<i ==x>") == {"=": "x"}
+    assert attrs('<i =="">') == {"=": ""}
+    assert attrs("<i =id=x>") == {"=id": "x"}

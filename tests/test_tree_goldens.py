@@ -1922,6 +1922,30 @@ DAT8 = r'''
 |       "a"
 |       <!--  p -->
 |       "b"
+
+#data
+<!DOCTYPE html><svg><g></br>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg g>
+|     <br>
+|     "x"
+
+#data
+<!DOCTYPE html><math><mi></p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mi>
+|         <p>
+|         "x"
 '''
 
 
