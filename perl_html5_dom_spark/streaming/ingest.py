@@ -73,6 +73,97 @@ def dedup_stream(stream: DataFrame, key_col: str = "text",
     return df.drop("_digest")
 
 
+_BUCKET_OUT = "doc_id bigint, band int, bk1 bigint, bk2 bigint, dup boolean"
+_BUCKET_STATE = "first_doc bigint"
+
+
+def _bucket_state_fn(key, pdfs, state):
+    """Per-LSH-bucket state: remember the first doc that claimed this
+    bucket; every later doc in the bucket is a near-dup candidate."""
+    import pandas as pd
+
+    first = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            dup = first is not None and doc_id != first
+            if first is None:
+                first = doc_id
+            out.append((doc_id, int(key[0]), int(key[1]), int(key[2]), dup))
+    state.update((first,))
+    yield pd.DataFrame(out, columns=["doc_id", "band", "bk1", "bk2", "dup"])
+
+
+def near_dup_stream(docs: DataFrame, num_perm: int = 16,
+                    bands: int = 4, k: int = 3) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates at ingest: per arriving
+    document, one row per LSH band bucket with ``dup`` = true when a
+    document from ANY earlier micro-batch (or earlier in this batch, by
+    doc_id) already claimed that bucket.  A doc with any(dup) is a
+    near-dup CANDIDATE — the same recall contract as the batch
+    ``lsh_candidate_pairs`` (same signatures, same band keys, so a pair
+    the batch path buckets together is flagged here once its second
+    member arrives).  Precision filtering (exact-jaccard verify) stays
+    a batch concern: per-bucket state holds ONE long, not shingle sets,
+    which is what keeps 10^12-document state viable.
+
+    Roll up per document downstream (e.g. in foreachBatch):
+    ``flagged.groupBy("doc_id").agg(max(col("dup")))``.
+
+    State: one row per distinct (band, bk1, bk2) bucket, each a single
+    bigint — bounded by corpus novelty, survives restarts via the
+    checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import H, P, perm_params, tokens_expr
+
+    # signatures as a PURE PROJECTION (array_min over the per-doc
+    # shingle array) — numerically identical to the batch explode +
+    # partial-agg path, but stateless, so the only stateful operator in
+    # the streaming plan is the bucket store below.  (The batch path
+    # keeps the explode because its materialized shingle table also
+    # feeds the exact-jaccard verify join.)
+    parts = " || ' ' || ".join(f"element_at(t, i + {d})" for d in range(k))
+    sigs = []
+    for j in range(num_perm):
+        a, b = perm_params(j)
+        sigs.append(f"array_min(transform(sh, s -> "
+                    f"({a} * ({H('s')} % {P}) + {b}) % {P})) as mh{j}")
+    wide = (
+        docs.selectExpr("doc_id", "text as _txt", f"{tokens_expr()} as t")
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(case when size(t) >= {k} then "
+            f"transform(sequence(1, size(t) - {k - 1}), i -> {parts}) "
+            "else array(_txt) end) as sh")
+        .selectExpr("doc_id", *sigs)
+    )
+    rows = num_perm // bands
+    entries = []
+    for b in range(bands):
+        js = range(b * rows, (b + 1) * rows)
+        bk1 = " + ".join(f"mh{j} * {j + 1}" for j in js)
+        bk2 = " + ".join(f"mh{j}" for j in js)
+        entries.append(f"struct({b} as band, cast({bk1} as bigint) as bk1, "
+                       f"cast({bk2} as bigint) as bk2)")
+    buckets = (
+        wide.selectExpr("doc_id",
+                        f"explode(array({', '.join(entries)})) as s")
+        .selectExpr("doc_id", "s.band as band", "s.bk1 as bk1",
+                    "s.bk2 as bk2")
+    )
+    return (
+        buckets.groupBy("band", "bk1", "bk2")
+        .applyInPandasWithState(
+            _bucket_state_fn,
+            outputStructType=_BUCKET_OUT,
+            stateStructType=_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def crawl_rate_stream(pages: DataFrame, window: str = "1 minute",
                       watermark: str = "5 minutes",
                       ts_col: str = "warc_ts") -> DataFrame:

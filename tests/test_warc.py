@@ -158,3 +158,47 @@ def test_streaming_warc_extraction(spark, tmp_path):
     q2 = start_warc_extraction(spark, str(warc_dir), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 9
+
+
+def test_near_dup_stream_matches_batch_candidates(spark, tmp_path):
+    """Streaming LSH near-dup flags must reproduce the batch
+    lsh_candidate_pairs contract: across ordered micro-batches, the
+    SECOND arrival of each bucketed pair is flagged, and per-doc
+    signatures/band keys are identical to the batch path."""
+    from pyspark.sql import functions as F
+
+    from perl_html5_dom_spark.operators.dedup import lsh_candidate_pairs
+    from perl_html5_dom_spark.streaming.ingest import near_dup_stream
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    rows = []
+    for i in range(30):
+        if i % 5 == 0 and i > 0:
+            text = f"{base} {i - 1} extra"   # near-copy of doc i-1
+        else:
+            text = f"{base} {i} with unique tail token t{i} u{i} v{i}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "nd_in")
+    ordered = docs.orderBy("doc_id").collect()
+    for chunk in (ordered[:10], ordered[10:20], ordered[20:]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (near_dup_stream(stream)
+         .writeStream.format("memory").queryName("nd_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    flagged = {r.doc_id for r in spark.table("nd_out")
+               .where("dup").select("doc_id").distinct().collect()}
+
+    # batch contract: for every bucketed pair (a < b), b must be flagged
+    pairs = lsh_candidate_pairs(docs).collect()
+    want = {r.b for r in pairs}
+    assert want, "corpus must actually produce candidates"
+    assert flagged == want

@@ -125,12 +125,14 @@ def check_one(src: str) -> str | None:
         d2 = TreeBuilder().parse(s1)
         if s1 != serialize(d2, d2.root):
             return "serialize-fixpoint"
-    cut = len(src) // 3
-    cp = ChunkedParser()
-    cp.parse_chunk(src[:cut])
-    cp.parse_chunk(src[cut:])
-    if project(cp.end()) != project(full):
-        return "chunked"
+    if len(src) > 1:
+        # content-derived split point: varies per doc, reproducible
+        cut = 1 + (hash(src) % (len(src) - 1))
+        cp = ChunkedParser()
+        cp.parse_chunk(src[:cut])
+        cp.parse_chunk(src[cut:])
+        if project(cp.end()) != project(full):
+            return "chunked"
     inner_text(full, full.root)
     text_content(full, full.root)
     return None
