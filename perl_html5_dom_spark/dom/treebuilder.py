@@ -1212,20 +1212,23 @@ class TreeBuilder:
             self.frameset_ok = False
             self._insert_element(token)
             self.tok.set_rawtext(tag, "rawtext")
-            self.original_mode = "in_body"
+            # generic rawtext algorithm: original mode = CURRENT mode
+            # (in-table delegation must restore the table mode, or the
+            # following text skips foster parenting — round-4 fuzz find)
+            self.original_mode = self.mode
             self.mode = "text"
             return
         if tag == "iframe":
             self.frameset_ok = False
             self._insert_element(token)
             self.tok.set_rawtext(tag, "rawtext")
-            self.original_mode = "in_body"
+            self.original_mode = self.mode
             self.mode = "text"
             return
         if tag == "noembed":
             self._insert_element(token)
             self.tok.set_rawtext(tag, "rawtext")
-            self.original_mode = "in_body"
+            self.original_mode = self.mode
             self.mode = "text"
             return
         if tag == "select":

@@ -1946,6 +1946,32 @@ DAT8 = r'''
 |       <math mi>
 |         <p>
 |         "x"
+
+#data
+<!DOCTYPE html><template><tr><iframe></iframe>x</template>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <tr>
+|         <iframe>
+|         "x"
+|   <body>
+
+#data
+<!DOCTYPE html><table><tr><iframe></iframe>x</table>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <iframe>
+|     "x"
+|     <table>
+|       <tbody>
+|         <tr>
 '''
 
 
