@@ -630,10 +630,17 @@ class _Fast:
             if t[0] == "start":
                 self._body_start(t)
                 return
-            if t[0] == "end" and t[1] not in ("body", "html"):
+            if t[0] == "end" and t[1] not in (
+                # container-closing end tags belong to the ENCLOSING
+                # loop (template/cell/caption), which this lookahead
+                # bypasses — bail to the slow lane (round-4 fuzz find:
+                # <template><pre></template> kept the template open)
+                "body", "html", "template", "caption", "table",
+                "td", "th", "tr", "tbody", "thead", "tfoot", "colgroup",
+            ):
                 self._body_end(t[1])
                 return
-            raise _Bail               # eof / </body> right after <pre>
+            raise _Bail               # eof / </body> / container close
         if tag not in _OK_BODY_START:
             raise _Bail
         if tag in _BLOCK_START:

@@ -511,3 +511,17 @@ def test_golden_cases_fast_lane_parity():
     for src, frag_ctx, _expected in G.CASES:
         if frag_ctx is None:
             assert_equal_trees(src)
+
+
+def test_pre_lookahead_container_closes():
+    """The <pre>/<listing> newline-lookahead must not swallow an
+    enclosing container's end tag (round-4 fuzz find): bail to the
+    slow lane instead of mis-dispatching </template>/</caption>/cell
+    closes through the body rules."""
+    for src in (
+        "<template><pre></template><span>x",
+        "<template><listing></template><span>x",
+        "<table><caption><pre></caption>x</table>",
+        "<table><tr><td><pre></td><td>x</table>",
+    ):
+        assert_equal_trees(src)
