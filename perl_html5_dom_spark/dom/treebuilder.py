@@ -907,7 +907,8 @@ class TreeBuilder:
         self._reprocess(token)
 
     def _end_template(self) -> None:
-        if not any(self.doc.tag[n] == "template" for n in self.stack):
+        if not any(self.doc.tag[n] == "template" and self.doc.ns[n] == NS_HTML
+                       for n in self.stack):
             return
         self._generate_implied_end_tags(thorough=True)
         self._pop_until("template")
@@ -1022,7 +1023,8 @@ class TreeBuilder:
         doc = self.doc
         tag = token[1]
         if tag == "html":
-            if any(doc.tag[n] == "template" for n in self.stack):
+            if any(doc.tag[n] == "template" and doc.ns[n] == NS_HTML
+                              for n in self.stack):
                 return
             top = self.stack[0]
             attrs = doc.attrs[top]
@@ -1045,7 +1047,8 @@ class TreeBuilder:
             return
         if tag == "body":
             if len(self.stack) < 2 or doc.tag[self.stack[1]] != "body" or \
-                    any(doc.tag[n] == "template" for n in self.stack):
+                    any(doc.tag[n] == "template" and doc.ns[n] == NS_HTML
+                              for n in self.stack):
                 return
             self.frameset_ok = False
             body = self.stack[1]
@@ -1085,7 +1088,8 @@ class TreeBuilder:
             self.frameset_ok = False
             return
         if tag == "form":
-            in_template = any(doc.tag[n] == "template" for n in self.stack)
+            in_template = any(doc.tag[n] == "template" and doc.ns[n] == NS_HTML
+                              for n in self.stack)
             if self.form_id != NULL and not in_template:
                 return
             self._close_p()
@@ -1317,13 +1321,20 @@ class TreeBuilder:
             self._pop_until(tag)
             return
         if tag == "form":
-            in_template = any(doc.tag[n] == "template" for n in self.stack)
+            in_template = any(doc.tag[n] == "template" and doc.ns[n] == NS_HTML
+                              for n in self.stack)
             if not in_template:
                 node = self.form_id
                 self.form_id = NULL
                 if node == NULL or node not in self.stack or not self._in_scope("form"):
                     return
                 self._generate_implied_end_tags()
+                if self.stack[-1] != node:
+                    # remove-without-popping left elements above the
+                    # form open: the tree cannot round-trip through
+                    # serialization (the explicit close tags re-parse
+                    # differently) — same family as nested forms
+                    doc.misnested = True
                 self.stack.remove(node)
             else:
                 if not self._in_scope("form"):
@@ -1823,7 +1834,8 @@ class TreeBuilder:
                 self._end_template()
             return
         if tt == "eof":
-            if not any(self.doc.tag[n] == "template" for n in self.stack):
+            if not any(self.doc.tag[n] == "template" and self.doc.ns[n] == NS_HTML
+                       for n in self.stack):
                 self.done = True
                 return
             self._end_template()

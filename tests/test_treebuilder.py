@@ -179,3 +179,26 @@ def test_charref_edge_cases_pinned():
     for src, want in cases:
         t = parse("<p>" + src + "</p>")
         assert text_content(t, t.body_node) == want, src
+
+
+def test_foreign_template_is_not_html_template():
+    """A MathML/SVG-namespace <template> is NOT a template element for
+    the HTML rules: </template> with only a math template on the stack
+    is ignored (round-4 fuzz find: the mismatch emptied the open
+    elements stack and crashed the next insertion)."""
+    from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+    from perl_html5_dom_spark.dom.treedump import tree_format
+
+    t = TreeBuilder().parse("<math><template><mi><h></template>y")
+    assert tree_format(t) == (
+        "| <html>\n"
+        "|   <head>\n"
+        "|   <body>\n"
+        "|     <math math>\n"
+        "|       <math template>\n"
+        "|         <math mi>\n"
+        "|           <h>\n"
+        '|             "y"')
+    # svg variant + stress: no crash, foreign template closes via the
+    # foreign end-tag path when it IS the current subtree
+    TreeBuilder().parse("<svg><template><g></template><circle>x")
