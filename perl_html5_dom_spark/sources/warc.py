@@ -187,6 +187,21 @@ def build_warc(records: Iterable[bytes], per_record_gzip: bool = True,
     return out.getvalue()
 
 
+def build_conversion_record(uri: str, text: str,
+                            date: str | None = None) -> bytes:
+    """WET-style ``conversion`` record: the extracted plain text of a
+    page (the Common Crawl WET sidecar format — same ISO 28500 framing
+    as WARC, payload is UTF-8 text with no HTTP envelope)."""
+    return build_record("conversion", text.encode("utf-8"), uri=uri,
+                        date=date, content_type="text/plain")
+
+
+def build_wet(records: Iterable[bytes], per_record_gzip: bool = True) -> bytes:
+    """Assemble a ``.warc.wet.gz`` from conversion records (same member
+    framing as :func:`build_warc`)."""
+    return build_warc(records, per_record_gzip=per_record_gzip)
+
+
 # ---------------------------------------------------------------------------
 # Spark source
 # ---------------------------------------------------------------------------
@@ -253,6 +268,39 @@ def warc_pages_df(spark, path: str):
     files = spark.read.format("binaryFile").load(path)
     return _finish_pages(files.select("content").mapInPandas(
         _pages_kernel, schema=_PAGES_KERNEL_SCHEMA))
+
+
+def _wet_kernel(batches):
+    """(content binary) batches → one row per ``conversion`` record."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"url": [], "warc_ts": [], "text": []}
+        for content in pdf["content"]:
+            for rec in iter_warc_records(bytes(content)):
+                if rec["warc_type"] != "conversion":
+                    continue
+                out["url"].append(rec["target_uri"])
+                out["warc_ts"].append(rec["date"])
+                out["text"].append(rec["body"].decode("utf-8"))
+        yield pd.DataFrame(out)
+
+
+def wet_docs_df(spark, path: str):
+    """``*.wet[.gz]`` files → DataFrame(url, warc_ts, text string).
+
+    The WET ingestion twin of :func:`warc_pages_df`: when a crawl
+    provider already ships extracted text, the curation pipeline can
+    start from conversion records and skip the HTML parse entirely —
+    every downstream text operator (quality, dedup, split, pack) takes
+    this frame unchanged."""
+    files = spark.read.format("binaryFile").load(path)
+    df = files.select("content").mapInPandas(
+        _wet_kernel, schema="url string, warc_ts string, text string")
+    return df.selectExpr(
+        "url",
+        "to_timestamp(replace(replace(warc_ts, 'T', ' '), 'Z', '')) as warc_ts",
+        "text")
 
 
 def read_warc_stream(spark, path: str, max_files_per_trigger: int = 4):

@@ -202,3 +202,28 @@ def test_near_dup_stream_matches_batch_candidates(spark, tmp_path):
     want = {r.b for r in pairs}
     assert want, "corpus must actually produce candidates"
     assert flagged == want
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """WET (conversion-record) write -> binaryFile read -> text frame;
+    the text feeds the curation operators with no HTML parse."""
+    from perl_html5_dom_spark.operators.textstats import quality_scores
+    from perl_html5_dom_spark.sources.warc import (
+        build_conversion_record, build_wet, wet_docs_df)
+
+    recs = [build_conversion_record(f"https://wet.example/{i}",
+                                    f"the text of document {i} here")
+            for i in range(12)]
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "seg0.warc.wet.gz").write_bytes(build_wet(recs[:6]))
+    (p / "seg1.warc.wet.gz").write_bytes(build_wet(recs[6:],
+                                                   per_record_gzip=False))
+    docs = wet_docs_df(spark, str(p))
+    rows = {r.url: r.text for r in docs.collect()}
+    assert len(rows) == 12
+    assert rows["https://wet.example/3"] == "the text of document 3 here"
+    # downstream operator runs unchanged on the WET frame
+    q = quality_scores(docs.selectExpr(
+        "cast(substring_index(url, '/', -1) as bigint) as doc_id", "text"))
+    assert q.count() == 12
