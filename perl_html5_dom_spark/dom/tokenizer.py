@@ -94,7 +94,7 @@ def decode_entities_attr(value: str) -> str:
                 # "&noti;" here but "¬i;" in text; html5lib entities02.)
                 out.append("&" + body)
             else:
-                out.append(_html.unescape("&" + body))
+                out.append(_decode_body(body))
             i = end
         else:
             # no semicolon: expand longest legacy prefix only if the char
@@ -115,10 +115,53 @@ def decode_entities_attr(value: str) -> str:
     return "".join(out)
 
 
+# WHATWG numeric-character-reference end state (13.2.5.80): Python's
+# html.unescape DEVIATES from the current spec by dropping noncharacters
+# and C0-control references outright — the spec emits them (parse error
+# only).  Numeric refs are therefore decoded here; named refs still
+# delegate to html.unescape (its named/legacy max-munch matches).
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+_ENT_RE = re.compile(
+    r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]*;?)")
+
+
+def _numref_char(num: int) -> str:
+    if num == 0 or num > 0x10FFFF or 0xD800 <= num <= 0xDFFF:
+        return "\ufffd"
+    return chr(_C1_REMAP.get(num, num))
+
+
+def _decode_body(body: str) -> str:
+    """Decode one &-reference body matched by _ENT_RE."""
+    if body[0] == "#":
+        digits = body[1:].rstrip(";")
+        if digits[0] in "xX":
+            return _numref_char(int(digits[1:], 16))
+        return _numref_char(int(digits))
+    return _html.unescape("&" + body)
+
+
 def _decode_text(text: str) -> str:
-    if "&" in text:
-        text = _html.unescape(text)
-    return text
+    if "&" not in text:
+        return text
+    out = []
+    pos = 0
+    for m in _ENT_RE.finditer(text):
+        out.append(text[pos:m.start()])
+        out.append(_decode_body(m.group(1)))
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
 
 
 class Tokenizer:

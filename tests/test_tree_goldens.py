@@ -1972,6 +1972,16 @@ DAT8 = r'''
 |     <table>
 |       <tbody>
 |         <tr>
+
+#data
+<!DOCTYPE html><p>&CounterClockwiseContourIntegral;&#x9F;&#x10FFFF;
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "∳Ÿ􏿿"
 '''
 
 
