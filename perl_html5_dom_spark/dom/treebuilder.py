@@ -911,6 +911,14 @@ class TreeBuilder:
                        for n in self.stack):
             return
         self._generate_implied_end_tags(thorough=True)
+        if self.stack and not (
+                self.doc.tag[self.stack[-1]] == "template"
+                and self.doc.ns[self.stack[-1]] == NS_HTML):
+            # spec parse error: </template> force-pops unclosed elements;
+            # if any of them carried an AFE marker (applet/marquee/
+            # object), the marker bookkeeping differs on reparse of the
+            # serialization — flag as misnested (round-trip lossy)
+            self.doc.misnested = True
         self._pop_until("template")
         self._afe_clear_to_marker()
         if self.template_modes:
