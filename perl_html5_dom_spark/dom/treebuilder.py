@@ -607,6 +607,15 @@ class TreeBuilder:
             tag = doc.tag[n]
             if last and self.fragment_context_tag is not None:
                 tag = self.fragment_context_tag
+            elif doc.ns[n] != NS_HTML:
+                # every case below names an HTML element; a foreign node
+                # (e.g. a MathML <template>) matches none of them and
+                # must fall through (round-4 fuzz find: a math template
+                # selected the in-template mode with no template modes)
+                if last:
+                    self.mode = "in_body"
+                    return
+                continue
             if tag == "select":
                 self.mode = "in_select"
                 if not last:

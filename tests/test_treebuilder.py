@@ -202,3 +202,14 @@ def test_foreign_template_is_not_html_template():
     # svg variant + stress: no crash, foreign template closes via the
     # foreign end-tag path when it IS the current subtree
     TreeBuilder().parse("<svg><template><g></template><circle>x")
+
+
+def test_reset_insertion_mode_skips_foreign_nodes():
+    """The reset-insertion-mode algorithm's cases name HTML elements; a
+    foreign node (MathML <template>, SVG <select>, ...) must fall
+    through (round-4 fuzz find: a math template selected the
+    in-template mode with an empty template-modes stack and crashed)."""
+    from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
+
+    TreeBuilder().parse("<math><template ><mi ><select ><textarea>")
+    TreeBuilder().parse("<svg><desc><table><select><input>")
