@@ -56,7 +56,7 @@ _FAST_END_RE = re.compile(r"([a-z][a-z0-9]*)[\t\n\x0c ]*>")
 # attribute-value character references: named refs without a trailing ';'
 # are NOT expanded when followed by [a-zA-Z0-9=] (WHATWG §13.2.5.73)
 _ATTR_ENTITY_RE = re.compile(
-    r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]{0,32};?)"
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]{0,32};?)"
 )
 
 # longest-first legacy (no-semicolon) entity names
@@ -129,8 +129,11 @@ _C1_REMAP = {
     0x9E: 0x017E, 0x9F: 0x0178,
 }
 
+# numeric runs are UNBOUNDED (§13.2.5.79-80 consumes every digit and
+# emits ONE char — a capped regex would leave trailing digits literal);
+# the value itself is clamped in _decode_body before chr()
 _ENT_RE = re.compile(
-    r"&(#[0-9]{1,10};?|#[xX][0-9a-fA-F]{1,8};?|[a-zA-Z][a-zA-Z0-9]*;?)")
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)")
 
 
 def _numref_char(num: int) -> str:
@@ -140,12 +143,23 @@ def _numref_char(num: int) -> str:
 
 
 def _decode_body(body: str) -> str:
-    """Decode one &-reference body matched by _ENT_RE."""
+    """Decode one &-reference body matched by _ENT_RE.
+
+    Digit runs are unbounded, so clamp BEFORE int(): strip leading
+    zeros and anything longer than the 0x10FFFF digit budget (6 hex /
+    7 decimal) is overflow → U+FFFD, without ever materializing a
+    million-digit bignum from adversarial input."""
     if body[0] == "#":
         digits = body[1:].rstrip(";")
         if digits[0] in "xX":
-            return _numref_char(int(digits[1:], 16))
-        return _numref_char(int(digits))
+            sig = digits[1:].lstrip("0")
+            num = int(sig, 16) if 0 < len(sig) <= 6 else (
+                0 if not sig else 0x110000)
+        else:
+            sig = digits.lstrip("0")
+            num = int(sig) if 0 < len(sig) <= 7 else (
+                0 if not sig else 0x110000)
+        return _numref_char(num)
     return _html.unescape("&" + body)
 
 

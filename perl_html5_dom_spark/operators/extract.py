@@ -222,8 +222,12 @@ _FIELD_TYPES = {
     "main_text": "string", "inner_text": "string", "text_content": "string",
     "n_nodes": "bigint", "n_elements": "bigint",
     "spans": "array<struct<node_id: bigint, begin: bigint, length: bigint>>",
+    # per-document containment flag: null = clean; "truncated: ..." =
+    # the max_html_bytes guard fired; "Type: msg" = the parse raised
+    # and the row was emitted empty instead of failing the task
+    "err": "string",
 }
-ALL_FIELDS = tuple(_FIELD_TYPES)
+ALL_FIELDS = tuple(f for f in _FIELD_TYPES if f != "err")
 
 
 def extract_one(html, span_selector=None, fields: tuple = ALL_FIELDS) -> dict:
@@ -262,15 +266,33 @@ def extract_one(html, span_selector=None, fields: tuple = ALL_FIELDS) -> dict:
 
 
 def extract_pages(df, span_selector: str | None = "a[href]",
-                  fields: tuple | list | None = None):
+                  fields: tuple | list | None = None,
+                  max_html_bytes: int | None = None,
+                  on_error: str = "contain"):
     """DataFrame(url, html [, ...]) → DataFrame of requested fields
     (default: EXTRACT_SCHEMA).
 
     The selector is compiled ONCE here on the driver; the compiled plan
     rides the task closure to every executor (reference precompiled
     selectors, DOM.pod:2544-2551).
+
+    Containment (the 10^12-document policy — one pathological page must
+    not fail a task, 4 retries, then the whole job):
+
+    * ``on_error="contain"`` (default) wraps the per-document kernel in
+      try/except; a raising parse emits an empty row instead of killing
+      the task.  ``on_error="raise"`` restores fail-fast for tests and
+      differential fuzzing.
+    * ``max_html_bytes`` truncates oversized documents before parsing
+      (HTML5 parsing is total, so a truncated prefix still parses) so
+      one 1 GiB page can't straggle a partition.
+    * Request the ``"err"`` field to surface what happened per row:
+      null = clean, ``truncated: ...`` and/or ``Type: message`` —
+      the lineage layer (plans/pipeline.py) aggregates it per bucket.
     """
     fields = tuple(f for f in (fields or ALL_FIELDS) if f != "url")
+    want_err = "err" in fields
+    kfields = tuple(f for f in fields if f != "err")
     schema = "url string, " + ", ".join(
         f"{f} {_FIELD_TYPES[f]}" for f in fields)
     compiled = (
@@ -288,13 +310,30 @@ def extract_pages(df, span_selector: str | None = "a[href]",
         for pdf in batches:
             out = {k: [] for k in ("url",) + fields}
             for url, html in zip(pdf["url"], pdf["html"]):
+                err = None
                 # real corpora carry null/empty html rows — emit an
                 # empty extraction instead of failing the task
-                r = (extract_one(html, compiled, fields)
-                     if html is not None else empty_row)
+                if html is None:
+                    r = empty_row
+                else:
+                    if (max_html_bytes is not None
+                            and len(html) > max_html_bytes):
+                        err = (f"truncated: {len(html)} > "
+                               f"{max_html_bytes} bytes")
+                        html = html[:max_html_bytes]
+                    try:
+                        r = extract_one(html, compiled, kfields)
+                    except Exception as exc:  # noqa: BLE001 — containment
+                        if on_error == "raise":
+                            raise
+                        r = empty_row
+                        msg = f"{type(exc).__name__}: {exc}"
+                        err = f"{err}; {msg}" if err else msg
                 out["url"].append(url)
-                for k in fields:
+                for k in kfields:
                     out[k].append(r[k])
+                if want_err:
+                    out["err"].append(err)
             yield pd.DataFrame(out)
 
     return df.select("url", "html").mapInPandas(run, schema=schema)

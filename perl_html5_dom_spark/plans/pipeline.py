@@ -87,7 +87,7 @@ def extract_with_lineage(
     pages = pages.withColumn("_bucket", bucket_of(buckets=buckets))
     done = completed_buckets(spark, lineage_path)
     todo = sorted(set(range(buckets)) - done)
-    processed = n_urls_total = 0
+    processed = n_urls_total = n_err_total = 0
     for i in range(0, len(todo), batch_buckets):
         chunk = todo[i:i + batch_buckets]
         t0 = time.time()
@@ -100,25 +100,35 @@ def extract_with_lineage(
             .partitionBy("_bucket")
             .parquet(output_path)
         )
-        # audit: committed files of THIS batch only
-        per_bucket = {
-            int(r["_bucket"]): int(r["n"]) for r in
-            spark.read.parquet(output_path)
-            .filter(F.col("_bucket").isin(chunk))
-            .groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        # audit: committed files of THIS batch only; when the extractor
+        # emits the containment column, fold per-bucket error counts
+        # into the lineage rows so a 10^12-doc run's bad pages are
+        # visible per url-range, not just in logs
+        committed = spark.read.parquet(output_path).filter(
+            F.col("_bucket").isin(chunk))
+        err_agg = (F.count(F.col("err")) if "err" in committed.columns
+                   else F.lit(0)).alias("n_err")
+        audit = {
+            int(r["_bucket"]): (int(r["n"]), int(r["n_err"])) for r in
+            committed.groupBy("_bucket")
+            .agg(F.count("*").alias("n"), err_agg).collect()
         }
         wall = time.time() - t0
-        rows = [(int(b), "done", per_bucket.get(int(b), 0),
+        rows = [(int(b), "done", audit.get(int(b), (0, 0))[0],
+                 audit.get(int(b), (0, 0))[1],
                  float(round(wall, 3)), float(time.time())) for b in chunk]
         spark.createDataFrame(
-            rows, "bucket int, status string, n_rows bigint, wall_s double, ts double"
+            rows, "bucket int, status string, n_rows bigint, n_err bigint, "
+                  "wall_s double, ts double"
         ).write.mode("append").parquet(lineage_path)
         processed += len(chunk)
-        n_urls_total += sum(per_bucket.values())
+        n_urls_total += sum(n for n, _ in audit.values())
+        n_err_total += sum(e for _, e in audit.values())
     return {
         "processed_buckets": processed,
         "skipped_buckets": len(done),
         "n_urls": n_urls_total,
+        "n_err": n_err_total,
     }
 
 

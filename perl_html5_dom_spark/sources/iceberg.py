@@ -46,6 +46,29 @@ def _validate(df: DataFrame, required: list[str] | None = None) -> DataFrame:
     return df
 
 
+#: message markers meaning "this environment/name is not an Iceberg
+#: table" — the ONLY condition the parquet fallback may absorb.  A
+#: genuine Iceberg failure (snapshot not found, commit conflict, schema
+#: evolution, corrupt metadata, permissions) matches none of these and
+#: propagates (ADVICE r4: a bare `except Exception` silently diverted
+#: real errors onto the fallback path).
+_NO_ICEBERG_MARKERS = (
+    "DATA_SOURCE_NOT_FOUND",          # runtime jar absent (this sandbox)
+    "Failed to find the data source",
+    "ClassNotFoundException",
+    "TABLE_OR_VIEW_NOT_FOUND",        # runtime present, name not a table
+    "NoSuchTableException",
+    "PARSE_SYNTAX_ERROR",             # a filesystem path used as identifier
+    "REQUIRES_SINGLE_PART_NAMESPACE",  # catalog name with no such catalog
+    "is not an Iceberg table",
+)
+
+
+def _not_iceberg(exc: Exception) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m in msg for m in _NO_ICEBERG_MARKERS)
+
+
 def pages_table(spark: SparkSession, table: str,
                 snapshot_id: int | None = None,
                 as_of_timestamp: str | None = None,
@@ -57,6 +80,9 @@ def pages_table(spark: SparkSession, table: str,
     they are rejected on the parquet fallback rather than silently
     ignored.  ``columns`` prunes the projection AT THE SOURCE so the
     scan never deserializes page bytes a query does not use.
+
+    Only the no-runtime / not-a-table case falls back to parquet; real
+    Iceberg errors (snapshot not found, corrupt metadata) propagate.
     """
     reader = spark.read
     try:
@@ -65,12 +91,13 @@ def pages_table(spark: SparkSession, table: str,
         if as_of_timestamp is not None:
             reader = reader.option("as-of-timestamp", as_of_timestamp)
         df = reader.format("iceberg").load(table)
-    except Exception:
-        # no Iceberg runtime / not a catalog table -> parquet path
+    except Exception as exc:
+        if not _not_iceberg(exc):
+            raise
         if snapshot_id is not None or as_of_timestamp is not None:
             raise ValueError(
                 "time travel requires the Iceberg runtime; the parquet "
-                "fallback has no snapshot lineage")
+                "fallback has no snapshot lineage") from exc
         df = spark.read.parquet(table)
     df = _validate(df, required=columns)
     return df.select(*columns) if columns else df
@@ -90,7 +117,13 @@ def write_pages(df: DataFrame, table: str, mode: str = "append",
     try:
         w = df.writeTo(table)
         (w.append() if mode == "append" else w.createOrReplace())
-    except Exception:
+    except Exception as exc:
+        # ONLY the no-runtime / not-a-table case may divert to parquet;
+        # a real Iceberg write failure (commit conflict, schema
+        # evolution, permissions) must fail the job, not silently drop
+        # the crawl into a stray directory (ADVICE r4, medium)
+        if not _not_iceberg(exc):
+            raise
         from pyspark.sql import functions as F
 
         out = df

@@ -232,6 +232,32 @@ def roundtrip_df(df):
         run, schema="url string, html binary")
 
 
+def wet_roundtrip_df(df):
+    """DataFrame(url, text) → same, but each row makes a full trip
+    through the WET layer inside the kernel: text → ``conversion``
+    record → per-record-gzip member → record parser → payload.  The
+    WET twin of :func:`roundtrip_df`, used by the ``wet_extract``
+    oracle query to prove conversion-record ingestion without touching
+    disk (any framing bug — headers, Content-Length over multi-byte
+    UTF-8, gzip member boundaries — surfaces as a value mismatch)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"url": [], "text": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                data = build_wet([build_conversion_record(url, text)])
+                (rec,) = (r for r in iter_warc_records(data)
+                          if r["warc_type"] == "conversion")
+                out["url"].append(rec["target_uri"])
+                out["text"].append(rec["body"].decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return df.select("url", "text").mapInPandas(
+        run, schema="url string, text string")
+
+
 def _pages_kernel(batches):
     """Arrow kernel shared by the batch and streaming WARC sources:
     (content binary) batches → one row per ``response`` record."""

@@ -83,13 +83,18 @@ def _bucket_state_fn(key, pdfs, state):
     import pandas as pd
 
     first = state.get[0] if state.exists else None
+    # drain ALL chunks before sorting: a bucket whose rows span multiple
+    # pandas chunks must still elect the batch-global min doc_id as
+    # first claimant, or the documented "earlier in this batch, by
+    # doc_id" determinism breaks across replays (ADVICE r4)
+    doc_ids = sorted(
+        int(d) for pdf in pdfs for d in pdf["doc_id"])
     out = []
-    for pdf in pdfs:
-        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-            dup = first is not None and doc_id != first
-            if first is None:
-                first = doc_id
-            out.append((doc_id, int(key[0]), int(key[1]), int(key[2]), dup))
+    for doc_id in doc_ids:
+        dup = first is not None and doc_id != first
+        if first is None:
+            first = doc_id
+        out.append((doc_id, int(key[0]), int(key[1]), int(key[2]), dup))
     state.update((first,))
     yield pd.DataFrame(out, columns=["doc_id", "band", "bk1", "bk2", "dup"])
 

@@ -55,3 +55,53 @@ def test_time_travel_rejected_on_fallback(spark, pages_path):
 
     with pytest.raises(ValueError, match="time travel"):
         pages_table(spark, pages_path, snapshot_id=7)
+
+
+def test_real_iceberg_write_errors_propagate(spark, pages_path,
+                                             monkeypatch, tmp_path):
+    """ADVICE r4 (medium): a genuine Iceberg failure (commit conflict,
+    permissions, schema evolution) must fail the job — NOT silently
+    divert the crawl drop to a stray parquet directory."""
+    import os
+
+    from perl_html5_dom_spark.sources import iceberg as ice
+
+    df = ice.pages_table(spark, pages_path)
+
+    class CommitBoom(Exception):
+        pass
+
+    def fake_write_to(self, table):
+        raise CommitBoom(
+            "CommitFailedException: branch main moved during commit")
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # the pyspark.sql.DataFrame base methods)
+    monkeypatch.setattr(type(df), "writeTo", fake_write_to)
+    target = str(tmp_path / "diverted")
+    with pytest.raises(CommitBoom):
+        ice.write_pages(df, target, mode="append")
+    assert not os.path.exists(target)  # nothing written on the sly
+
+
+def test_not_iceberg_classifier():
+    """Only no-runtime / not-a-table messages select the fallback."""
+    from perl_html5_dom_spark.sources.iceberg import _not_iceberg
+
+    absorbed = [
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: iceberg",
+        "java.lang.ClassNotFoundException: iceberg.DefaultSource",
+        "[TABLE_OR_VIEW_NOT_FOUND] The table or view `x` cannot be found",
+        "[PARSE_SYNTAX_ERROR] Syntax error at or near '/'",
+        "[REQUIRES_SINGLE_PART_NAMESPACE] spark_catalog requires ...",
+    ]
+    propagated = [
+        "CommitFailedException: branch main moved",
+        "Cannot find snapshot with ID 7",
+        "AccessDeniedException: s3://bucket/metadata",
+        "ValidationException: schema evolution not allowed",
+    ]
+    for msg in absorbed:
+        assert _not_iceberg(Exception(msg)), msg
+    for msg in propagated:
+        assert not _not_iceberg(Exception(msg)), msg

@@ -105,6 +105,77 @@ def test_lineage_resume(spark, pages, tmp_path):
     assert resume_filter(spark, small, lin, buckets=8).count() == 0
 
 
+def _make_boom_extract_one():
+    """Build a stand-in for extract.extract_one that raises on a marker
+    page.  Returned as a CLOSURE (not a test-module-level function) so
+    cloudpickle serializes it by value — executors can't import the
+    tests/ directory, so a by-reference pickle would fail with
+    ModuleNotFoundError instead of exercising containment."""
+    from perl_html5_dom_spark.operators.extract import (
+        extract_one as real_extract_one)
+
+    def boom_extract_one(html, compiled, fields):
+        if b"@BOOM@" in bytes(html):
+            raise ValueError("injected parser failure")
+        return real_extract_one(html, compiled, fields)
+
+    return boom_extract_one
+
+
+def test_extraction_error_containment(spark, monkeypatch):
+    """One pathological page must not fail the task (VERDICT r4 #2):
+    a raising parse and an oversized page both survive as err rows."""
+    from perl_html5_dom_spark.operators import extract as ex
+
+    big = b"<p>" + b"lots of words here " * 40 + b"</p>"
+    rows = [
+        ("u/ok1", b"<p>fine one</p>"),
+        ("u/boom", b"<p>@BOOM@</p>"),
+        ("u/big", big),
+        ("u/ok2", b"<p>fine two</p>"),
+        ("u/null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    monkeypatch.setattr(ex, "extract_one", _make_boom_extract_one())
+    out = {r.url: r for r in ex.extract_pages(
+        df, None, fields=["url", "main_text", "err"],
+        max_html_bytes=64).collect()}
+    assert len(out) == 5
+    assert out["u/ok1"].err is None and out["u/ok1"].main_text == "fine one"
+    assert out["u/ok2"].err is None
+    assert out["u/boom"].err.startswith("ValueError:")
+    assert out["u/boom"].main_text == ""
+    assert out["u/big"].err.startswith(f"truncated: {len(big)} > 64")
+    # truncated prefix still parses and yields its words
+    assert out["u/big"].main_text.startswith("lots of words")
+    assert out["u/null"].err is None and out["u/null"].main_text == ""
+    # fail-fast mode restores the old behavior for fuzz/differential runs
+    with pytest.raises(Exception, match="injected parser failure"):
+        ex.extract_pages(df, None, fields=["url", "main_text"],
+                         on_error="raise").collect()
+
+
+def test_lineage_counts_err_rows(spark, monkeypatch, tmp_path):
+    """Per-bucket err counts flow into the lineage table."""
+    from perl_html5_dom_spark.operators import extract as ex
+    from perl_html5_dom_spark.plans.pipeline import extract_with_lineage
+
+    rows = [(f"u/{i}", b"<p>@BOOM@</p>" if i % 4 == 0
+             else f"<p>doc {i}</p>".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    monkeypatch.setattr(ex, "extract_one", _make_boom_extract_one())
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    m = extract_with_lineage(
+        spark, df, out, lin,
+        lambda d: ex.extract_pages(d, None, fields=["url", "main_text", "err"]),
+        buckets=4, batch_buckets=2)
+    assert m["n_urls"] == 20
+    assert m["n_err"] == 5
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_err")).first()[0] == 5
+    assert lineage.agg(F.sum("n_rows")).first()[0] == 20
+
+
 def test_lineage_crash_between_commits_is_idempotent(spark, pages, tmp_path):
     """Kill-between-commits: data committed for a bucket but its lineage
     row lost (crash between the WRITE and PUBLISH steps).  The rerun

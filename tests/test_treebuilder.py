@@ -175,6 +175,15 @@ def test_charref_edge_cases_pinned():
         ("&amp", "&"),
         ("&#X41;&#65;", "AA"),          # capital X, decimal
         ("&CounterClockwiseContourIntegral;", "∳"),
+        # ADVICE r4: digit runs beyond the old 10-dec/8-hex regex caps
+        # must consume ALL digits and emit ONE U+FFFD, not a decoded
+        # prefix plus literal leftover digits
+        ("&#99999999999;", "�"),
+        ("&#x999999999;", "�"),
+        ("&#" + "9" * 100 + ";", "�"),  # no bignum from adversarial runs
+        ("&#x" + "0" * 50 + "41;", "A"),  # leading zeros are not overflow
+        ("&#" + "0" * 50 + "65;", "A"),
+        ("&#x" + "0" * 20 + ";", "�"),  # all-zero run is NUL -> U+FFFD
     ]
     for src, want in cases:
         t = parse("<p>" + src + "</p>")

@@ -227,3 +227,20 @@ def test_wet_roundtrip(spark, tmp_path):
     q = quality_scores(docs.selectExpr(
         "cast(substring_index(url, '/', -1) as bigint) as doc_id", "text"))
     assert q.count() == 12
+
+
+def test_wet_roundtrip_df_multibyte(spark):
+    """In-kernel WET round-trip (the wet_extract oracle path) is
+    byte-faithful for multi-byte UTF-8 payloads, where Content-Length
+    (bytes) diverges from len(text) (code points)."""
+    from perl_html5_dom_spark.sources.warc import wet_roundtrip_df
+
+    texts = ["plain ascii", "café naïve — résumé",
+             "日本語のテキスト",
+             "emoji \U0001f600 mix", ""]
+    df = spark.createDataFrame(
+        [(f"https://wet.example/{i}", t) for i, t in enumerate(texts)],
+        "url string, text string")
+    rows = {r.url: r.text for r in wet_roundtrip_df(df).collect()}
+    assert rows == {f"https://wet.example/{i}": t
+                    for i, t in enumerate(texts)}

@@ -82,16 +82,23 @@ def gen_doc(rng: random.Random) -> str:
     return "".join(parts)
 
 
+def _setup_paths() -> None:
+    """Once per worker process, not per document (ADVICE r4: the old
+    per-document inserts grew sys.path unboundedly over a campaign)."""
+    for p in (".", "tests"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
 def check_one(src: str) -> str | None:
     """Return a failure label or None."""
-    sys.path.insert(0, ".")
+    _setup_paths()
     from perl_html5_dom_spark.dom import fastparse
     from perl_html5_dom_spark.dom.chunked import ChunkedParser
     from perl_html5_dom_spark.dom.innertext import inner_text
     from perl_html5_dom_spark.dom.serializer import serialize, text_content
     from perl_html5_dom_spark.dom.treebuilder import TreeBuilder
 
-    sys.path.insert(0, "tests")
     from test_fastparse import project
 
     full = TreeBuilder().parse(src)
@@ -126,8 +133,12 @@ def check_one(src: str) -> str | None:
         if s1 != serialize(d2, d2.root):
             return "serialize-fixpoint"
     if len(src) > 1:
-        # content-derived split point: varies per doc, reproducible
-        cut = 1 + (hash(src) % (len(src) - 1))
+        # content-derived split point: varies per doc, reproducible —
+        # crc32, NOT hash() (which is salted per interpreter by
+        # PYTHONHASHSEED, so a saved failure wouldn't replay its
+        # failing split at triage; ADVICE r4)
+        import zlib
+        cut = 1 + (zlib.crc32(src.encode()) % (len(src) - 1))
         cp = ChunkedParser()
         cp.parse_chunk(src[:cut])
         cp.parse_chunk(src[cut:])
