@@ -40,27 +40,32 @@ from .sources import warc as wc
 # shared corpora
 # ---------------------------------------------------------------------------
 
-#: dedup corpus: originals + exact copies (id%5==0) + near-copies (id%3==0)
-#: — same SQL text runs in Spark and DuckDB
-CORPUS_SQL = (
-    "select doc_id, text from documents "
-    "union all select doc_id + 100000 as doc_id, text from documents "
-    "where doc_id % 5 = 0 "
-    "union all select doc_id + 200000 as doc_id, text || ' zz yy xx' as text "
-    "from documents where doc_id % 3 = 0"
-)
+def corpus_sql(table: str = "documents") -> str:
+    """Dedup corpus: originals + exact copies (id%5==0) + near-copies
+    (id%3==0) — same SQL text runs in Spark (over a unique temp-view
+    name) and DuckDB (over the ``documents`` view)."""
+    return (
+        f"select doc_id, text from {table} "
+        f"union all select doc_id + 100000 as doc_id, text from {table} "
+        "where doc_id % 5 = 0 "
+        "union all select doc_id + 200000 as doc_id, "
+        f"text || ' zz yy xx' as text from {table} where doc_id % 3 = 0"
+    )
+
+
+#: the DuckDB-oracle instantiation (and the public compat name)
+CORPUS_SQL = corpus_sql()
 
 URL = "'https://example.org/doc/' || cast(doc_id as varchar)"
 
 
-def _views(spark: SparkSession, sf_dir: str) -> None:
-    # single-row-group driver parquet = one scan partition; repartition
-    # the narrow rows so downstream kernels/joins use the whole cluster
-    # (pages.read_docs rationale)
-    pg.read_docs(spark, sf_dir).createOrReplaceTempView("documents")
-    n = spark.sparkContext.defaultParallelism
-    (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-     .repartition(n, "vec_id").createOrReplaceTempView("embeddings"))
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents frame (single-row-group driver parquet repartitioned —
+    pages.read_docs rationale).  Queries consume it directly or via
+    ``ut.temp_view``/``ut.sql_over`` collision-free names; NO fixed
+    global temp views (VERDICT r4 #8: two catalogs interleaving on one
+    session must not clobber each other's registrations)."""
+    return pg.read_docs(spark, sf_dir)
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +73,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir)
-    return spark.sql(CORPUS_SQL)
+    return ut.sql_over(corpus_sql, _docs(spark, sf_dir))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,11 +223,12 @@ def q_crawl_frontier(spark, sf_dir):
     integer PageRank on the link graph — fetch order = rank of allowed
     urls.  Every piece is an existing operator; the oracle composes
     the same two certified SQL derivations."""
-    _views(spark, sf_dir)
-    rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)")))
-    urls = spark.sql(_ROBOTS_URLS_SQL)
+    with ut.temp_view(_docs(spark, sf_dir)) as d:
+        rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)", d)))
+        urls = spark.sql(_robots_urls_sql(d))
+        edges = spark.sql(lg.demo_edges_sql(d))
     adm = rb.robots_filter(urls, rules)
-    ranks = lg.pagerank(spark.sql(lg.demo_edges_sql("documents")), iters=5)
+    ranks = lg.pagerank(edges, iters=5)
     # host id embedded in the hostname: h<k>.example.org -> node k
     with_host = adm.selectExpr(
         "url", "allowed",
@@ -358,8 +363,7 @@ def q_multimodal_meta(spark, sf_dir):
     """Image-decode stub: deterministic fake image assets; the Spark-side
     plumbing (binary col, Arrow batches, typed metadata out) is real, the
     pixel decode is stubbed (no imaging libs in this container)."""
-    _views(spark, sf_dir)
-    assets = spark.sql("select doc_id from documents").mapInPandas(
+    assets = _docs(spark, sf_dir).select("doc_id").mapInPandas(
         _fake_image_kernel, schema="doc_id bigint, image binary")
     return assets.mapInPandas(
         _decode_image_kernel,
@@ -469,23 +473,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    _views(spark, sf_dir)
-    return ts.lang_id(spark.table("documents"))
+    return ts.lang_id(_docs(spark, sf_dir))
 
 
 def q_quality_scores(spark, sf_dir):
-    _views(spark, sf_dir)
-    return ts.quality_scores(spark.table("documents"))
+    return ts.quality_scores(_docs(spark, sf_dir))
 
 
 def q_token_counts(spark, sf_dir):
-    _views(spark, sf_dir)
-    return ts.token_counts(spark.table("documents"))
+    return ts.token_counts(_docs(spark, sf_dir))
 
 
 def q_fingerprints(spark, sf_dir):
-    _views(spark, sf_dir)
-    return ts.fingerprints(spark.table("documents"))
+    return ts.fingerprints(_docs(spark, sf_dir))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -762,9 +762,10 @@ def q_gopher_quality(spark, sf_dir):
     """Gopher/C4 repetition + quality filters (textstats.gopher_quality)
     over a multi-line corpus with known duplicate/bullet/ellipsis lines;
     the oracle recomputes every signal with DuckDB list functions."""
-    _views(spark, sf_dir)
-    corpus = spark.sql(
-        f"select doc_id, {_gopher_text('char(10)')} as text from documents")
+    corpus = ut.sql_over(
+        lambda d: f"select doc_id, {_gopher_text('char(10)')} as text "
+                  f"from {d}",
+        _docs(spark, sf_dir))
     return ts.gopher_quality(corpus)
 
 
@@ -798,11 +799,11 @@ def q_line_dedup(spark, sf_dir):
     where every doc shares a site-header line and a per-(doc_id%5)
     footer line; only first occurrences survive.  The oracle recomputes
     with a row_number window + ordered string_agg in DuckDB."""
-    _views(spark, sf_dir)
-    corpus = spark.sql(
-        "select doc_id, 'shared site header' || char(10) || text || "
-        "char(10) || 'footer group ' || cast(doc_id % 5 as string) "
-        "as text from documents")
+    corpus = ut.sql_over(
+        lambda d: "select doc_id, 'shared site header' || char(10) || text "
+                  "|| char(10) || 'footer group ' || "
+                  f"cast(doc_id % 5 as string) as text from {d}",
+        _docs(spark, sf_dir))
     return dd.line_dedup(corpus)
 
 
@@ -811,16 +812,16 @@ def q_host_stats(spark, sf_dir):
     host varies by doc_id % 7 and which revisits each path twice; the
     oracle extracts host/path with split_part string ops (independent
     of Spark's parse_url)."""
-    _views(spark, sf_dir)
-    urls = spark.sql(
-        "select 'https://h' || cast(doc_id % 7 as string) || "
-        "'.example.org/doc/' || cast(doc_id as string) || "
-        "case when doc_id % 2 = 0 then '' else '/v' end as url "
-        "from documents "
-        "union all "
-        "select 'https://h' || cast(doc_id % 7 as string) || "
-        "'.example.org/doc/' || cast(doc_id as string) as url "
-        "from documents where doc_id % 3 = 0")
+    urls = ut.sql_over(
+        lambda d: "select 'https://h' || cast(doc_id % 7 as string) || "
+                  "'.example.org/doc/' || cast(doc_id as string) || "
+                  "case when doc_id % 2 = 0 then '' else '/v' end as url "
+                  f"from {d} "
+                  "union all "
+                  "select 'https://h' || cast(doc_id % 7 as string) || "
+                  "'.example.org/doc/' || cast(doc_id as string) as url "
+                  f"from {d} where doc_id % 3 = 0",
+        _docs(spark, sf_dir))
     return un.host_stats(urls)
 
 
@@ -829,13 +830,14 @@ def q_normalize_text(spark, sf_dir):
     over text salted with combining sequences; Spark normalizes via
     pandas Series.str.normalize, DuckDB via nfc_normalize — two
     independent NFC implementations must agree byte-for-byte."""
-    _views(spark, sf_dir)
     # e + U+0301 (utf8 cc 81) and A + U+0308 (utf8 cc 88), plus messy
     # whitespace; NFC composes them to é / Ä
-    corpus = spark.sql(
-        "select doc_id, text || '  caf' || 'e' || decode(unhex('CC81'), 'UTF-8') "
-        "|| char(9) || ' ' || 'A' || decode(unhex('CC88'), 'UTF-8') || ' x ' "
-        "as text from documents")
+    corpus = ut.sql_over(
+        lambda d: "select doc_id, text || '  caf' || 'e' || "
+                  "decode(unhex('CC81'), 'UTF-8') || char(9) || ' ' || 'A' "
+                  "|| decode(unhex('CC88'), 'UTF-8') || ' x ' "
+                  f"as text from {d}",
+        _docs(spark, sf_dir))
     return ts.normalize_text(corpus)
 
 
@@ -861,8 +863,7 @@ def q_wet_extract(spark, sf_dir):
     straight from the documents table, so any framing loss (headers,
     Content-Length over multi-byte UTF-8, member boundaries) or
     downstream incompatibility surfaces as a value mismatch."""
-    _views(spark, sf_dir)
-    wet = wc.wet_roundtrip_df(spark.table("documents").selectExpr(
+    wet = wc.wet_roundtrip_df(_docs(spark, sf_dir).selectExpr(
         "'https://wet.example/' || doc_id as url", "text"))
     toks = ts.tokens_expr()
     return wet.selectExpr(
@@ -889,25 +890,23 @@ def q_contamination(spark, sf_dir):
     overlap between documents and a deterministic synthetic eval set
     (every 17th doc donates a 12-token slice).  Bench n-grams broadcast;
     only hit pairs shuffle."""
-    _views(spark, sf_dir)
-    bench = spark.sql(cn.bench_items_sql(cn.SPARK, "documents"))
-    return cn.ngram_overlap(spark.table("documents"), bench,
-                            n=5, threshold=0.5)
+    docs = _docs(spark, sf_dir)
+    bench = ut.sql_over(lambda d: cn.bench_items_sql(cn.SPARK, d), docs)
+    return cn.ngram_overlap(docs, bench, n=5, threshold=0.5)
 
 
 def q_top_ngrams(spark, sf_dir):
     """Corpus n-gram statistics: top-100 bigrams by document frequency,
     total-ordered (df desc, ngram) so the cut is deterministic."""
-    _views(spark, sf_dir)
-    return cn.top_ngrams(spark.table("documents"), n=2, k=100)
+    return cn.top_ngrams(_docs(spark, sf_dir), n=2, k=100)
 
 
 def q_pii_scan(spark, sf_dir):
     """PII detection counts (pii.pii_scan) over a corpus with
     arithmetically-injected emails/IPv4s/phones; pure codegen'd
     regexp_extract_all, zero shuffle."""
-    _views(spark, sf_dir)
-    messy = spark.sql(pi.pii_messy_sql(pi.SPARK, "documents"))
+    messy = ut.sql_over(lambda d: pi.pii_messy_sql(pi.SPARK, d),
+                        _docs(spark, sf_dir))
     return pi.pii_scan(messy)
 
 
@@ -915,24 +914,23 @@ def q_pii_redact(spark, sf_dir):
     """PII redaction (pii.pii_redact): all-occurrence regexp_replace
     chain; result keyed by redacted-text digest so two independent
     regex engines must agree byte-for-byte."""
-    _views(spark, sf_dir)
-    messy = spark.sql(pi.pii_messy_sql(pi.SPARK, "documents"))
+    messy = ut.sql_over(lambda d: pi.pii_messy_sql(pi.SPARK, d),
+                        _docs(spark, sf_dir))
     return pi.pii_redact(messy)
 
 
 def q_link_degrees(spark, sf_dir):
     """Link-graph degrees (linkgraph.degrees) over the deterministic
     synthetic crawl graph; two partial-agg groupBys + one outer join."""
-    _views(spark, sf_dir)
-    return lg.degrees(spark.sql(lg.demo_edges_sql("documents")))
+    return lg.degrees(ut.sql_over(lg.demo_edges_sql, _docs(spark, sf_dir)))
 
 
 def q_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank, 5 damped power iterations in one
     declarative plan; bit-for-bit reproducible in DuckDB because every
     step is integer floor arithmetic (linkgraph.pagerank docstring)."""
-    _views(spark, sf_dir)
-    return lg.pagerank(spark.sql(lg.demo_edges_sql("documents")), iters=5)
+    return lg.pagerank(ut.sql_over(lg.demo_edges_sql, _docs(spark, sf_dir)),
+                       iters=5)
 
 
 def q_sitemap_urls(spark, sf_dir):
@@ -943,18 +941,17 @@ def q_sitemap_urls(spark, sf_dir):
     frontier.  Entry order = document order via the ord column."""
     from pyspark.sql import Window
 
-    _views(spark, sf_dir)
     entry_xml = (
         "'<url><loc>https://s' || cast(doc_id as string) || '.example/p' "
         "|| cast(i as string) || '</loc><lastmod>2025-01-' "
         "|| lpad(cast(i % 28 + 1 as string), 2, '0') || '</lastmod></url>'")
-    pages = spark.sql(
-        "select 'https://s' || cast(doc_id as string) || "
+    pages = ut.sql_over(
+        lambda d: "select 'https://s' || cast(doc_id as string) || "
         "'.example/sitemap.xml' as url, "
         "encode('<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>' || "
         f"array_join(transform(sequence(0, doc_id % 5 + 1), i -> {entry_xml}), '') "
-        "|| '</urlset>', 'utf-8') as html "
-        "from documents where doc_id % 10 = 0")
+        f"|| '</urlset>', 'utf-8') as html from {d} where doc_id % 10 = 0",
+        _docs(spark, sf_dir))
     locs = so.css_extract(pages, "url > loc", what="text")
     w = Window.partitionBy("url").orderBy("ord")
     return locs.select(
@@ -966,37 +963,41 @@ def q_sitemap_urls(spark, sf_dir):
 #: synthetic robots corpus: 7 hosts, a '*' group with nested
 #: allow-inside-disallow prefixes + a per-host rule, and a badbot group
 #: that must NOT leak into '*' matching.  {nl} = newline per dialect.
-def _robots_corpus_sql(nl: str) -> str:
+def _robots_corpus_sql(nl: str, table: str = "documents") -> str:
     return (
         "select 'h' || cast(h as string) || '.example.org' as host, "
         f"'User-agent: *' || {nl} || 'Disallow: /private' || {nl} || "
         f"'Allow: /private/ok' || {nl} || "
         f"'Disallow: /tmp' || cast(h as string) || {nl} || "
         f"'User-agent: badbot' || {nl} || 'Disallow: /' as robots_txt "
-        "from (select distinct doc_id % 7 as h from documents)"
+        f"from (select distinct doc_id % 7 as h from {table})"
     )
 
 
-_ROBOTS_URLS_SQL = (
-    "select 'https://h' || cast(doc_id % 7 as string) || '.example.org' "
-    "|| p as url, "
-    "'h' || cast(doc_id % 7 as string) || '.example.org' as host, "
-    "p as path from (select doc_id, case doc_id % 5 "
-    "when 0 then '/private/x' || cast(doc_id as string) "
-    "when 1 then '/private/ok/y' "
-    "when 2 then '/public/z' "
-    "when 3 then '/tmp' || cast(doc_id % 7 as string) || '/a' "
-    "else '/' end as p from documents)"
-)
+def _robots_urls_sql(table: str = "documents") -> str:
+    return (
+        "select 'https://h' || cast(doc_id % 7 as string) || '.example.org' "
+        "|| p as url, "
+        "'h' || cast(doc_id % 7 as string) || '.example.org' as host, "
+        "p as path from (select doc_id, case doc_id % 5 "
+        "when 0 then '/private/x' || cast(doc_id as string) "
+        "when 1 then '/private/ok/y' "
+        "when 2 then '/public/z' "
+        "when 3 then '/tmp' || cast(doc_id % 7 as string) || '/a' "
+        f"else '/' end as p from {table})"
+    )
+
+
+_ROBOTS_URLS_SQL = _robots_urls_sql()
 
 
 def q_robots_filter(spark, sf_dir):
     """robots.txt compliance (operators/robots.py): parse rule groups
     with a running last-agent window, admit URLs by longest-prefix with
     Allow winning ties; rules broadcast, matching map-side."""
-    _views(spark, sf_dir)
-    rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)")))
-    urls = spark.sql(_ROBOTS_URLS_SQL)
+    with ut.temp_view(_docs(spark, sf_dir)) as d:
+        rules = rb.parse_robots(spark.sql(_robots_corpus_sql("char(10)", d)))
+        urls = spark.sql(_robots_urls_sql(d))
     return rb.robots_filter(urls, rules)
 
 
@@ -1004,34 +1005,37 @@ def q_corpus_split(spark, sf_dir):
     """Deterministic content-keyed train/val/test assignment
     (textstats.corpus_split): md5-bucketed, leak-safe for exact dups,
     zero shuffle."""
-    _views(spark, sf_dir)
-    return ts.corpus_split(spark.table("documents"))
+    return ts.corpus_split(_docs(spark, sf_dir))
 
 
 def q_distinctive_terms(spark, sf_dir):
     """Integer tf-idf analog (textstats.distinctive_terms): top-3 terms
     per doc by (tf desc, df asc, term) — float-free so both engines
     rank identically."""
-    _views(spark, sf_dir)
-    return ts.distinctive_terms(spark.table("documents"), k=3)
+    return ts.distinctive_terms(_docs(spark, sf_dir), k=3)
 
 
-#: revisit corpus: 50 urls, each captured by every doc with the same
-#: doc_id % 50; capture time grows with doc_id, so latest = max doc_id
-_REVISITS_SQL = (
-    "select 'https://r' || cast(doc_id % 50 as string) || '.example/p' as url, "
-    "cast('2025-01-01 00:00:00' as timestamp) + "
-    "make_interval(0, 0, 0, 0, 0, 0, doc_id) as warc_ts, "
-    "doc_id as version from documents"
-)
+def _revisits_sql(table: str = "documents") -> str:
+    """Revisit corpus: 50 urls, each captured by every doc with the same
+    doc_id % 50; capture time grows with doc_id, so latest = max."""
+    return (
+        "select 'https://r' || cast(doc_id % 50 as string) || "
+        "'.example/p' as url, "
+        "cast('2025-01-01 00:00:00' as timestamp) + "
+        "make_interval(0, 0, 0, 0, 0, 0, doc_id) as warc_ts, "
+        f"doc_id as version from {table}"
+    )
+
+
+_REVISITS_SQL = _revisits_sql()
 
 
 def q_latest_snapshot(spark, sf_dir):
     """Incremental crawl merge (urlnorm.latest_snapshot): newest capture
     per url via one partial-agg max(struct); oracle recomputes with an
     independent window formulation."""
-    _views(spark, sf_dir)
-    return un.latest_snapshot(spark.sql(_REVISITS_SQL))
+    return un.latest_snapshot(
+        ut.sql_over(_revisits_sql, _docs(spark, sf_dir)))
 
 
 def q_anchor_edges(spark, sf_dir):
@@ -1087,17 +1091,17 @@ def q_crawl_delta(spark, sf_dir):
     documents corpus; new = same urls with doc_id%7==1 texts edited,
     doc_id%13==2 urls dropped, and a fresh url block added.  One
     digest-only full-outer join."""
-    _views(spark, sf_dir)
-    old = spark.sql(
-        "select 'https://d/' || cast(doc_id as string) as url, text "
-        "from documents")
-    new = spark.sql(
-        "select 'https://d/' || cast(doc_id as string) as url, "
-        "case when doc_id % 7 = 1 then text || ' v2' else text end as text "
-        "from documents where doc_id % 13 <> 2 "
-        "union all "
-        "select 'https://d/n' || cast(doc_id as string) as url, text "
-        "from documents where doc_id % 11 = 5")
+    docs = _docs(spark, sf_dir)
+    old = ut.sql_over(
+        lambda d: "select 'https://d/' || cast(doc_id as string) as url, "
+                  f"text from {d}", docs)
+    new = ut.sql_over(
+        lambda d: "select 'https://d/' || cast(doc_id as string) as url, "
+                  "case when doc_id % 7 = 1 then text || ' v2' else text "
+                  f"end as text from {d} where doc_id % 13 <> 2 "
+                  "union all "
+                  "select 'https://d/n' || cast(doc_id as string) as url, "
+                  f"text from {d} where doc_id % 11 = 5", docs)
     return un.crawl_delta(old, new)
 
 
@@ -1105,8 +1109,7 @@ def q_pack_offsets(spark, sf_dir):
     """Training-sequence packing (packing.pack_offsets): concat-and-
     chunk token offsets over md5-bucketed substreams; per-bucket
     windows in parallel, integer arithmetic throughout."""
-    _views(spark, sf_dir)
-    return pk.pack_offsets(spark.table("documents"),
+    return pk.pack_offsets(_docs(spark, sf_dir),
                            max_tokens=256, buckets=8)
 
 
@@ -1151,16 +1154,14 @@ def q_duplicated_ngrams(spark, sf_dir):
     """Exact-substring-dedup signal (Lee et al. 2022 style, k-token
     granularity) over the dup-heavy corpus: per-doc count/fraction of
     8-gram positions duplicated elsewhere in the corpus."""
-    _views(spark, sf_dir)
-    return dd.duplicated_ngrams(spark.sql(CORPUS_SQL), k=8)
+    return dd.duplicated_ngrams(_corpus(spark, sf_dir), k=8)
 
 
 def q_corpus_sample(spark, sf_dir):
     """Deterministic source-weighted mixture sampling: src0 dropped,
     src1-3 at 250/500/750 permille, everything else kept."""
-    _views(spark, sf_dir)
     return ts.corpus_sample(
-        spark.table("documents"),
+        _docs(spark, sf_dir),
         {"src0": 0, "src1": 250, "src2": 500, "src3": 750})
 
 

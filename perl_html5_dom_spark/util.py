@@ -10,12 +10,31 @@ DataFrame no longer needs the view).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
-from typing import Callable
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
 
 _counter = itertools.count()
+
+
+@contextlib.contextmanager
+def temp_view(df: DataFrame, prefix: str = "__v") -> Iterator[str]:
+    """Register ``df`` under a collision-free unique temp-view name for
+    the duration of the block; yields the name.
+
+    The multi-statement sibling of :func:`sql_over` — for query
+    builders that reference the same frame from several SQL strings
+    (e.g. robots rules + url list).  The view is dropped on exit;
+    ``spark.sql`` analyzes eagerly, so DataFrames built inside the
+    block stay valid after it."""
+    name = f"{prefix}_{next(_counter)}"
+    df.createOrReplaceTempView(name)
+    try:
+        yield name
+    finally:
+        df.sparkSession.catalog.dropTempView(name)
 
 
 def sql_over(builder: Callable[..., str], *dfs: DataFrame,

@@ -60,3 +60,21 @@ def test_no_view_leaks(spark):
     leaked = [t.name for t in spark.catalog.listTables()
               if t.name.startswith("__")]
     assert leaked == []
+
+
+def test_catalog_queries_interleaved(spark):
+    """Two whole CATALOG queries (VERDICT r4 #8: the query-builder layer
+    formerly registered fixed `documents`/`embeddings` views) built
+    interleaved against DIFFERENT sf dirs on one session: each must see
+    its own corpus, and nothing may remain registered afterwards."""
+    from perl_html5_dom_spark.queries import QUERIES
+
+    sf_small = "/root/testdata/sf0.001"
+    sf_big = "/root/testdata/sf0.1"
+    a = QUERIES["token_counts"](spark, sf_small)
+    b = QUERIES["token_counts"](spark, sf_big)      # before a runs
+    c = QUERIES["lang_id"](spark, sf_small)
+    na, nb, nc = a.count(), b.count(), c.count()
+    assert na == nc == 500        # sf0.001 corpus size
+    assert nb > na                # sf0.01 is strictly larger
+    assert [t.name for t in spark.catalog.listTables()] == []

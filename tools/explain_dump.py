@@ -176,6 +176,20 @@ def main() -> None:
          "materialization and feeds signatures AND verify — the "
          "round-4 ladder change (BENCH/BASELINE.md).")
 
+    from perl_html5_dom_spark.queries import q_webtext_pipeline
+    grab("Capstone webtext_pipeline: one parse feeds every stage",
+         q_webtext_pipeline(spark, sf),
+         "The end-to-end curation chain (VERDICT r4 #4 audit).  The "
+         "extraction kernel must appear as ONE InMemoryTableScan/"
+         "InMemoryRelation subtree (dd._materialize persists the parsed "
+         "docs before the dup fan-out) — exactly one MapInPandas parse "
+         "in the whole job, reused by the corpus union, quality join, "
+         "minhash shingles, dedup-keep, split and pack stages.  The "
+         "keep/train id-lists are tiny relative to the corpus, so their "
+         "joins must resolve to BroadcastHashJoin (AQE); the only "
+         "non-broadcast Exchanges allowed are the stages' own certified "
+         "shuffles (minhash groupBy/band join, pack bucket window).")
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
         f.write("Generated by tools/explain_dump.py; re-run after plan "
