@@ -178,14 +178,18 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def corpus_split(docs: DataFrame, weights: dict[str, int] | None = None,
-                 key_col: str = "text") -> DataFrame:
+                 key_col: str = "text", carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, bucket, split): deterministic content-keyed train/val/
     test assignment.  The bucket is H(md5('split:' || text)) % 100, so
     the assignment is (a) reproducible across runs and engines, (b)
     stable under re-crawls and doc_id renumbering, and (c) leak-safe
     for exact duplicates — identical text always lands in the same
     split, so a test document can never have a byte-identical twin in
-    train.  Pure projection: zero shuffle, cost == the scan."""
+    train.  Pure projection: zero shuffle, cost == the scan.
+
+    ``carry`` names extra input columns to pass through — filtering a
+    corpus to one split then needs NO id-join back to the text (the
+    webtext_pipeline capstone saves a full-corpus shuffle this way)."""
     weights = weights or {"train": 98, "val": 1, "test": 1}
     assert sum(weights.values()) == 100
     cum, case = 0, "case "
@@ -195,9 +199,9 @@ def corpus_split(docs: DataFrame, weights: dict[str, int] | None = None,
     case += "end"
     keyed = "'split:' || " + key_col
     return docs.selectExpr(
-        "doc_id",
+        "doc_id", *carry,
         f"cast({H(keyed)} % 100 as bigint) as bucket",
-    ).selectExpr("doc_id", "bucket", f"{case} as split")
+    ).selectExpr("doc_id", *carry, "bucket", f"{case} as split")
 
 
 def corpus_sample(docs: DataFrame, rates: dict[str, int],

@@ -1126,7 +1126,13 @@ def q_webtext_pipeline(spark, sf_dir):
 
     100 TB shape: every stage is a certified operator (extract kernel,
     minhash bucket join, zero-shuffle split, bucketed pack windows);
-    the chain adds no new shuffle beyond its stages' own."""
+    the chain adds no new shuffle beyond its stages' own.  Round-5 plan
+    audit (EXPLAIN.md capstone section): duplicate-cluster labels are
+    computed over the PAIR subgraph only (not the whole corpus), the
+    non-canonical members are removed with one left_anti join whose
+    right side is just bigint ids (AQE-broadcastable: losers ≪ corpus),
+    and the train filter rides corpus_split's carry passthrough — the
+    corpus text is never shuffled for either selection."""
     pages = _pages(spark, sf_dir)
     ext = ex.extract_pages(pages, span_selector=None,
                            fields=["url", "main_text"])
@@ -1143,10 +1149,14 @@ def q_webtext_pipeline(spark, sf_dir):
         ts.quality_scores(corpus).where("quality >= 0.75")
         .select("doc_id"), "doc_id")
     pairs = dd.minhash_near_dups(kept, threshold=0.5)
-    keep = dd.dedup_keep(kept, pairs).where("keep").select("doc_id")
-    surv = kept.join(keep, "doc_id")
-    train = ts.corpus_split(surv).where("split = 'train'").select("doc_id")
-    final = surv.join(train, "doc_id").select("doc_id", "text")
+    # losers = pair-members that are not their cluster's min id; docs in
+    # no pair are trivially canonical, so labeling the pair subgraph
+    # alone is equivalent to dedup_keep over the full corpus
+    losers = (dd.connected_components(pairs)
+              .where("node != comp").selectExpr("node as doc_id"))
+    surv = kept.join(losers, "doc_id", "left_anti")
+    final = (ts.corpus_split(surv, carry=("text",))
+             .where("split = 'train'").select("doc_id", "text"))
     return pk.pack_offsets(final, max_tokens=256, buckets=8)
 
 

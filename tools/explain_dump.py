@@ -179,16 +179,22 @@ def main() -> None:
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),
-         "The end-to-end curation chain (VERDICT r4 #4 audit).  The "
-         "extraction kernel must appear as ONE InMemoryTableScan/"
-         "InMemoryRelation subtree (dd._materialize persists the parsed "
-         "docs before the dup fan-out) — exactly one MapInPandas parse "
-         "in the whole job, reused by the corpus union, quality join, "
-         "minhash shingles, dedup-keep, split and pack stages.  The "
-         "keep/train id-lists are tiny relative to the corpus, so their "
-         "joins must resolve to BroadcastHashJoin (AQE); the only "
-         "non-broadcast Exchanges allowed are the stages' own certified "
-         "shuffles (minhash groupBy/band join, pack bucket window).")
+         "The end-to-end curation chain (r4 #4 audit; restructured in "
+         "round 5).  The extraction kernel must appear as ONE "
+         "InMemoryTableScan/InMemoryRelation subtree (dd._materialize "
+         "persists the parsed docs before the dup fan-out) — exactly "
+         "one MapInPandas parse in the whole job; every MapInPandas "
+         "line below sits inside a reprint of that same cached plan "
+         "(node ids repeat).  Selection stages must not shuffle corpus "
+         "text: duplicate-cluster labels are computed over the PAIR "
+         "subgraph only, non-canonical docs are removed by a LeftAnti "
+         "join whose right side is bare bigint ids (statically SMJ, "
+         "pushed below the corpus Union by Catalyst; AQE broadcasts "
+         "the small losers side at runtime), and the train selection "
+         "is corpus_split's carry passthrough — a pure projection, no "
+         "join at all.  Remaining Exchanges are the stages' own "
+         "certified shuffles (minhash groupBy/band join, pack bucket "
+         "window).")
 
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
