@@ -120,7 +120,10 @@ class TreeBuilder:
             if context_tag in RCDATA_TAGS:
                 self.tok.set_rawtext(context_tag, "rcdata")
             elif context_tag in RAWTEXT_TAGS:
-                self.tok.set_rawtext(context_tag, "rawtext")
+                # §13.4 step 2: noscript is RAWTEXT only when the
+                # scripting flag is enabled; otherwise data state
+                if context_tag != "noscript" or self.scripts:
+                    self.tok.set_rawtext(context_tag, "rawtext")
             elif context_tag == "script":
                 self.tok.set_rawtext(context_tag, "script")
             elif context_tag == "plaintext":
@@ -2114,5 +2117,7 @@ def parse(src: str, **opts) -> Document:
 
 
 def parse_fragment(src: str, context_tag: str = "div",
-                   context_ns: int = NS_HTML) -> tuple[Document, int]:
-    return TreeBuilder().parse_fragment(src, context_tag, context_ns)
+                   context_ns: int = NS_HTML,
+                   scripts: bool = True) -> tuple[Document, int]:
+    return TreeBuilder(scripts=scripts).parse_fragment(
+        src, context_tag, context_ns)

@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: modulus for minhash permutations (2^31 - 1, prime)
 P = 2_147_483_647
@@ -203,19 +203,50 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
 
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
-                      num_perm: int = 16, bands: int = 4, k: int = 3) -> DataFrame:
+                      num_perm: int = 16, bands: int = 4, k: int = 3,
+                      collapse_exact: bool | None = None) -> DataFrame:
     """LSH candidates → exact Jaccard verification (a, b, jaccard).
 
-    One shingle explode feeds BOTH the signature build and the verify
-    join (materialized once, already HASHED to 60-bit longs: the verify
-    stage dominates this operator's wall time, and shuffling 8-byte
-    hashes instead of ~20-byte shingle strings cut the round-4 ladder's
-    verify bytes ~3x); signatures come from the single-pass wide
-    aggregate (_minhash_wide) and band keys from a pure projection — the
-    only shuffles are the signature groupBy, the bucket self-join, and
-    the verify equi-join.  Hash semantics are engine-mirrored: both
-    sides take distinct shingle STRINGS per doc, then operate purely on
-    H(shingle), so the DuckDB oracle reproduces counts bit-for-bit."""
+    Round-5 scale shape, outside-in:
+
+    1. ADAPTIVE EXACT-DUP COLLAPSE.  Docs with identical text have
+       identical shingle sets, hence identical signatures, band
+       buckets, and jaccard against any third doc — so the whole
+       shingle/signature/verify machinery can run once per DISTINCT
+       text (the class rep = min doc_id), with doc-level pairs
+       recovered by arithmetic expansion: rep-pair (ra, rb, j) fans
+       out to every (x in class a, y in class b), and each class of
+       m > 1 contributes its own m·(m-1)/2 pairs at jaccard 1.0.
+       Bit-for-bit equivalent to running on raw docs (candidate-ship
+       and jaccard are functions of the shingle set alone).  On web
+       corpora (30-50% exact dups) this cuts the quadratic verify work
+       by the dup factor squared inside dense clusters, but on a
+       low-dup corpus the class bookkeeping is pure overhead — so by
+       default one cheap approx_count_distinct probe picks the path
+       (``collapse_exact`` forces it either way).
+    2. One shingle explode feeds BOTH the signature build and the
+       verify (materialized once, already HASHED to 60-bit longs).
+    3. Signatures from the single-pass wide aggregate (_minhash_wide),
+       band keys from a pure projection; the only shuffles are the
+       signature groupBy, the bucket self-join, and the verify joins.
+
+    Hash semantics are engine-mirrored: both sides take distinct
+    shingle STRINGS per doc, then operate purely on H(shingle), so the
+    DuckDB oracle reproduces counts bit-for-bit."""
+    tcol = "text" if "text" in docs.columns else docs.columns[-1]
+    if collapse_exact is None:
+        n, nd = docs.agg(
+            F.count("*"), F.approx_count_distinct(tcol)).first()
+        collapse_exact = nd < 0.8 * n
+    classes = None
+    if collapse_exact:
+        classes = _materialize(  # (doc_id, rep); rep == class min doc_id
+            docs.selectExpr("doc_id", f"md5({tcol}) as tkey")
+            .withColumn("rep",
+                        F.min("doc_id").over(Window.partitionBy("tkey")))
+            .select("doc_id", "rep"))
+        docs = docs.join(
+            classes.where("doc_id = rep").select("doc_id"), "doc_id")
     sh = _materialize(  # sizes + verify join sides, hashed once
         _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} as hs"))
     buckets = _materialize(  # self-joined below
@@ -227,15 +258,45 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # equi-join on (doc, hash) both sides — never |A|x|B| per pair
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "hs"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    # verify rides per-doc hash ARRAYS, not an exploded equi-join: the
+    # old (cand x shingles) join shuffled one row per (pair, shingle) —
+    # ~200x the candidate count — and its giant sort + hash-agg was
+    # DRAM-bound (the round-4 8->32 ladder sat at 0.35).  Packing each
+    # doc's hashes into one array makes the intersection a map-side
+    # codegen expression; the only exchanges carry one row per doc and
+    # one per candidate pair.  size(array_intersect) == the equi-join
+    # count and size(hset) == count(*) because hs values are distinct
+    # within a doc (distinct shingle strings under a 60-bit hash; a
+    # within-doc collision would off-by-one the jaccard denominator,
+    # p < 1e-10 per doc — the DuckDB oracle sees none at test scale).
+    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("hset"))
+    rep_pairs = (
+        cand.join(sets.selectExpr("doc_id as a", "hset as ha"), "a")
+        .join(sets.selectExpr("doc_id as b", "hset as hb"), "b")
+        .selectExpr("a", "b", "size(array_intersect(ha, hb)) as inter",
+                    "size(ha) as na", "size(hb) as nb")
+        .selectExpr("a", "b", "inter / (na + nb - inter) as j_raw")
+        .filter(F.col("j_raw") >= threshold)
+        .selectExpr("a", "b", "round(j_raw, 6) as jaccard")
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    if classes is None:
+        return rep_pairs
+    # expansion back to doc pairs (output-sized, pure joins/projections):
+    # cross-class pairs inherit the rep pair's jaccard; each class of
+    # m > 1 members contributes its own pairs at exactly 1.0
+    cross = (
+        rep_pairs
+        .join(classes.selectExpr("doc_id as x", "rep as a"), "a")
+        .join(classes.selectExpr("doc_id as y", "rep as b"), "b")
+        .selectExpr("least(x, y) as a", "greatest(x, y) as b", "jaccard")
+    )
+    within = (
+        classes.alias("l").join(classes.alias("r"), "rep")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .selectExpr("l.doc_id as a", "r.doc_id as b",
+                    "cast(1.0 as double) as jaccard")
+    )
+    return cross.unionAll(within)
 
 
 # ---------------------------------------------------------------------------

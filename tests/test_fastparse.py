@@ -508,7 +508,7 @@ def test_golden_cases_fast_lane_parity():
     frameset) ride through here too (VERDICT r3 #3)."""
     import test_tree_goldens as G
 
-    for src, frag_ctx, _expected in G.CASES:
+    for src, frag_ctx, _script, _expected in G.CASES:
         if frag_ctx is None:
             assert_equal_trees(src)
 

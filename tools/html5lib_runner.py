@@ -28,7 +28,10 @@ from perl_html5_dom_spark.dom.treedump import tree_format  # noqa: E402
 
 
 def parse_dat_file(text: str):
-    """Yield (data, fragment_context, expected_dump) per test case."""
+    """Yield (data, fragment_context, scripting, expected_dump) per test
+    case.  ``scripting`` is True/False when the case pins the flag via
+    the corpus's ``#script-on`` / ``#script-off`` directives, else None
+    (run with the engine default)."""
     for raw in text.split("\n\n#data\n"):
         block = raw
         if block.startswith("#data\n"):
@@ -36,7 +39,8 @@ def parse_dat_file(text: str):
         if not block.strip():
             continue
         lines = block.split("\n")
-        data_lines, errors, document, fragment = [], False, [], None
+        data_lines, document, fragment = [], [], None
+        script = None
         mode = "data"
         for ln in lines:
             if ln == "#errors":
@@ -46,7 +50,7 @@ def parse_dat_file(text: str):
             elif ln == "#document-fragment":
                 mode = "fragment"
             elif ln == "#script-on" or ln == "#script-off":
-                mode = "script"
+                script = ln == "#script-on"
             elif ln == "#document":
                 mode = "document"
             elif mode == "data":
@@ -55,13 +59,15 @@ def parse_dat_file(text: str):
                 fragment = ln.strip()
             elif mode == "document":
                 document.append(ln)
-        yield ("\n".join(data_lines), fragment, "\n".join(document).rstrip("\n"))
+        yield ("\n".join(data_lines), fragment, script,
+               "\n".join(document).rstrip("\n"))
 
 
 def run_file(path: Path) -> tuple[int, int, list[str]]:
     ok = fail = 0
     failures: list[str] = []
-    for data, fragment, expected in parse_dat_file(path.read_text()):
+    for data, fragment, script, expected in parse_dat_file(path.read_text()):
+        scripts = True if script is None else script
         try:
             if fragment:
                 parts = fragment.split()
@@ -69,13 +75,14 @@ def run_file(path: Path) -> tuple[int, int, list[str]]:
                     from perl_html5_dom_spark.dom.constants import (
                         NS_MATHML, NS_SVG)
                     ns = NS_SVG if parts[0] == "svg" else NS_MATHML
-                    doc, frag = TreeBuilder().parse_fragment(
+                    doc, frag = TreeBuilder(scripts=scripts).parse_fragment(
                         data, parts[1], ns)
                 else:
-                    doc, frag = TreeBuilder().parse_fragment(data, fragment)
+                    doc, frag = TreeBuilder(scripts=scripts).parse_fragment(
+                        data, fragment)
                 got = tree_format(doc, frag)
             else:
-                got = tree_format(TreeBuilder().parse(data))
+                got = tree_format(TreeBuilder(scripts=scripts).parse(data))
         except Exception as exc:  # a crash is a failure, not an abort
             got = f"<CRASH {type(exc).__name__}: {exc}>"
         if got == expected:
@@ -104,6 +111,9 @@ def selftest() -> int:
         (Path(td) / "goldens6.dat").write_text(G.DAT6.strip("\n") + "\n")
         (Path(td) / "goldens7.dat").write_text(G.DAT7.strip("\n") + "\n")
         (Path(td) / "goldens8.dat").write_text(G.DAT8.strip("\n") + "\n")
+        (Path(td) / "goldens9.dat").write_text(G.DAT9.strip("\n") + "\n")
+        (Path(td) / "goldensA.dat").write_text(G.DAT10.strip("\n") + "\n")
+        (Path(td) / "goldensB.dat").write_text(G.DAT11.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)

@@ -8,6 +8,10 @@ variants can be A/B'd on the same input:
   MH_SHUFFLE_MULT   shuffle partitions = cpus * mult   (default 4)
   MH_SKEW           1 = aggressive AQE skew-join split  (default 1)
   MH_TRIALS         best-of-N in the warm JVM           (default 3)
+  MH_REPLICAS       corpus scale: replicas per base doc (default 10;
+                    40 puts local[32] in its throughput regime — at 10
+                    the round-5 operator finishes in ~6 s and fixed
+                    per-stage overhead dominates the 32-thread level)
 
 Usage: python tools/minhash_ladder.py [levels...]   (default 2 8 32)
 """
@@ -22,17 +26,18 @@ import sys
 CORPUS_BUILD = r"""
 import duckdb, os, sys
 out = sys.argv[1]
+reps = int(os.environ.get("MH_REPLICAS", "10"))
 con = duckdb.connect()
 con.execute(
     "create view documents as "
     "select doc_id + 1000000*r as doc_id, "
     " case when r = 0 then text else text || ' r' || cast(r as varchar) end as text "
     "from read_parquet('/root/testdata/sf0.1/documents.parquet'), "
-    " (select unnest(generate_series(0, 9)) as r)")
+    f" (select unnest(generate_series(0, {reps - 1})) as r)")
 con.execute(
     "copy (select doc_id, text from documents "
-    " union all select doc_id + 10000000, text from documents where doc_id % 5 = 0 "
-    " union all select doc_id + 20000000, text || ' zz yy xx' from documents "
+    " union all select doc_id + 100000000, text from documents where doc_id % 5 = 0 "
+    " union all select doc_id + 200000000, text || ' zz yy xx' from documents "
     " where doc_id % 3 = 0) to '" + out + "' (format parquet)")
 print(con.execute("select count(*) from read_parquet('" + out + "')").fetchone()[0])
 """
@@ -77,7 +82,9 @@ spark.stop()
 
 def main() -> None:
     levels = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
-    corpus = "/tmp/mh_ladder_corpus.parquet"
+    reps = os.environ.get("MH_REPLICAS", "10")
+    corpus = (f"/tmp/mh_ladder_corpus_x{reps}.parquet" if reps != "10"
+              else "/tmp/mh_ladder_corpus.parquet")
     if not os.path.exists(corpus):
         out = subprocess.run([sys.executable, "-c", CORPUS_BUILD, corpus],
                              capture_output=True, text=True, check=True)
