@@ -1488,6 +1488,12 @@ class _Fast:
 
 def try_parse(src: str) -> Document | None:
     """Fast-lane parse; None if the document needs the full machine."""
+    if "\x00" in src:
+        # NUL semantics are mode-dependent (ignored in body/table-text/
+        # select, U+FFFD in foreign content — WHATWG 13.2.6): the slow
+        # lane routes it per insertion mode.  One C-level memchr scan up
+        # front; real pages essentially never contain NUL.
+        return None
     try:
         return _Fast(src).run()
     except _Bail:

@@ -215,16 +215,14 @@ class Tokenizer:
         lt = src.find("<", pos)
         if lt == -1:
             self.pos = n
-            text = src[pos:]
-            if "\x00" in text:
-                text = text.replace("\x00", "")
-            return ("char", _decode_text(text), pos, n - pos)
+            # NUL passes through: the data state EMITS U+0000 (with a
+            # parse error) and the tree stage decides — "in body"/"in
+            # table text"/"in select" ignore it, foreign content turns
+            # it into U+FFFD (WHATWG 13.2.5.1 + 13.2.6.5)
+            return ("char", _decode_text(src[pos:]), pos, n - pos)
         if lt > pos:
             self.pos = lt
-            text = src[pos:lt]
-            if "\x00" in text:
-                text = text.replace("\x00", "")
-            return ("char", _decode_text(text), pos, lt - pos)
+            return ("char", _decode_text(src[pos:lt]), pos, lt - pos)
         # at '<'
         return self._markup(lt)
 

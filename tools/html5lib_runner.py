@@ -114,6 +114,7 @@ def selftest() -> int:
         (Path(td) / "goldens9.dat").write_text(G.DAT9.strip("\n") + "\n")
         (Path(td) / "goldensA.dat").write_text(G.DAT10.strip("\n") + "\n")
         (Path(td) / "goldensB.dat").write_text(G.DAT11.strip("\n") + "\n")
+        (Path(td) / "goldensC.dat").write_text(G.DAT12.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
