@@ -169,12 +169,15 @@ def main() -> None:
          "One Exchange on the md5 bucket key; the running-sum window "
          "runs per bucket in parallel — no global ordering bottleneck.")
 
-    grab("MinHash near-dup verify: hashed equi-joins",
+    grab("MinHash near-dup verify: per-doc hash arrays, map-side intersect",
          dedup.minhash_near_dups(docs.selectExpr("doc_id", "text"), 0.5),
-         "The verify Exchanges must carry hs#…L (8-byte longs), never "
-         "shingle strings: the shingle table is hashed once at its "
-         "materialization and feeds signatures AND verify — the "
-         "round-4 ladder change (BENCH/BASELINE.md).")
+         "Round-5 verify plan: each doc's 60-bit shingle hashes are "
+         "packed once into an array (collect_set partial-agg) and the "
+         "exact Jaccard is a map-side codegen expression — the join "
+         "condition below must read size(array_intersect(ha, hb)) with "
+         "NO (pair × shingle) explode join anywhere in the plan; the "
+         "Exchanges carry one row per doc and one per candidate pair "
+         "(sf1: 14.7 s → 8.85 s, BENCH/SF1.md round-5 addendum).")
 
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
