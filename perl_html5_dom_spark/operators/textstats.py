@@ -255,3 +255,92 @@ def distinctive_terms(docs: DataFrame, k: int = 3,
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "rk")
     )
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals (within-document)
+# ---------------------------------------------------------------------------
+
+#: published Gopher bounds (Rae et al. 2021, appendix A1.1, table A1)
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _rep_fold(n: int) -> str:
+    """SQL expression: struct(bc, bl, dup) for word n-grams of ``t``.
+
+    Sorted-run scan, all inside whole-stage codegen: sort the n-gram
+    array once, then a single ``aggregate`` fold walks the runs and
+    keeps (bc, bl) = (count, charlen) of the most frequent n-gram
+    (ties broken by charlen, so the output fraction is deterministic)
+    and ``dup`` = occurrence-weighted char mass of n-grams appearing
+    more than once.  O(w log w) per document, no shuffle, no Python.
+    """
+    grams = (f"case when size(t) >= {n} then "
+             f"transform(sequence(1, size(t) - {n - 1}), "
+             f"i -> concat_ws(' ', slice(t, i, {n}))) "
+             "else array() end")
+    z = "cast(0 as bigint)"
+    one = "cast(1 as bigint)"
+    close_better = ("(s.prev is not null and (s.run > s.bc or "
+                    "(s.run = s.bc and length(s.prev) > s.bl)))")
+    close_bc = f"if({close_better}, s.run, s.bc)"
+    close_bl = f"if({close_better}, cast(length(s.prev) as bigint), s.bl)"
+    close_dup = (f"s.dup + if(s.prev is not null and s.run >= 2, "
+                 f"s.run * cast(length(s.prev) as bigint), {z})")
+    return (
+        f"aggregate(array_sort({grams}), "
+        f"named_struct('prev', cast(null as string), 'run', {z}, "
+        f"'bc', {z}, 'bl', {z}, 'dup', {z}), "
+        "(s, x) -> if(s.prev is not null and x = s.prev, "
+        f"named_struct('prev', x, 'run', s.run + {one}, "
+        "'bc', s.bc, 'bl', s.bl, 'dup', s.dup), "
+        f"named_struct('prev', x, 'run', {one}, "
+        f"'bc', {close_bc}, 'bl', {close_bl}, 'dup', {close_dup})), "
+        f"s -> named_struct('bc', {close_bc}, 'bl', {close_bl}, "
+        f"'dup', {close_dup}))"
+    )
+
+
+def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher within-document n-gram repetition rules (Rae et al.
+    2021 appendix A1.1) that ``gopher_quality`` (line-level rules)
+    does not cover:
+
+    - ``top{2,3,4}_frac``: fraction of characters contained in the
+      most frequently-occurring word n-gram (count x n-gram chars /
+      doc chars; char counts use single-space joins).
+    - ``dup{5..10}_frac``: occurrence-weighted char fraction of word
+      n-grams occurring more than once, capped at 1.0 (overlapping
+      occurrences double-count; the SAME formula runs in both engines,
+      so the oracle pins it exactly).
+    - ``keep_rep``: conjunction of the published bounds
+      (top: 0.20/0.18/0.16; dup: 0.15 down to 0.10).
+
+    At 100 TB this is a pure projection: per-document sorted-run folds
+    (``_rep_fold``) in whole-stage codegen — no shuffle, no explode,
+    no Python.  A 9-way explode + groupBy(doc, n, gram) would shuffle
+    the full n-gram stream; the fold keeps it map-side."""
+    tops = {n: _rep_fold(n) for n in GOPHER_TOP_NGRAM_MAX}
+    dups = {n: _rep_fold(n) for n in GOPHER_DUP_NGRAM_MAX}
+    top_cols = [
+        f"round(if(tc = 0, 0.0, _r{n}.bc * _r{n}.bl / tc), 6) as top{n}_frac"
+        for n in sorted(tops)
+    ]
+    dup_cols = [
+        f"round(if(tc = 0, 0.0, least(1.0, _r{n}.dup / tc)), 6) as dup{n}_frac"
+        for n in sorted(dups)
+    ]
+    keep = " and ".join(
+        [f"top{n}_frac < {v}" for n, v in sorted(GOPHER_TOP_NGRAM_MAX.items())]
+        + [f"dup{n}_frac < {v}" for n, v in sorted(GOPHER_DUP_NGRAM_MAX.items())]
+    )
+    return (
+        docs.selectExpr("doc_id", f"split({text_col}, ' ') as t")
+        .selectExpr("doc_id", "t",
+                    "cast(length(concat_ws(' ', t)) as bigint) as tc")
+        .selectExpr("doc_id", "tc",
+                    *[f"{e} as _r{n}" for n, e in sorted(tops.items())],
+                    *[f"{e} as _r{n}" for n, e in sorted(dups.items())])
+        .selectExpr("doc_id", *top_cols, *dup_cols)
+        .selectExpr("*", f"{keep} as keep_rep")
+    )

@@ -353,3 +353,48 @@ def test_corpus_sample(spark):
     again = {r.doc_id: r.keep for r in
              corpus_sample(docs, {"drop": 0, "half": 500}).collect()}
     assert all(again[r.doc_id] == r.keep for r in out)
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """Gopher n-gram repetition fractions on fixed documents, checked
+    against hand arithmetic (the DuckDB twin re-derives relationally)."""
+    from perl_html5_dom_spark.operators.textstats import ngram_repetition
+
+    rows = {r["doc_id"]: r for r in ngram_repetition(spark.createDataFrame(
+        [(1, "a b a b a b c d"),
+         (2, "one two three one two three one two three one two three"),
+         (3, ""), (4, "solo")],
+        "doc_id long, text string")).collect()}
+    # doc 1: tc=15; "a b" x3 (3 chars) -> 9/15; no repeated 5-grams
+    assert rows[1]["top2_frac"] == 0.6
+    assert rows[1]["dup5_frac"] == 0.0
+    # doc 2: tc=55; 2-gram tie at cnt=4 broken by charlen ("two three",
+    # 9 chars) -> 36/55; every 3-gram occurs >= 3 times -> dup5 capped
+    assert rows[2]["top2_frac"] == round(36 / 55, 6)
+    assert rows[2]["top3_frac"] == round(4 * 13 / 55, 6)
+    assert rows[2]["dup5_frac"] == 1.0
+    assert not rows[2]["keep_rep"]
+    # degenerate docs: zero signal, keep
+    for d in (3, 4):
+        assert rows[d]["top2_frac"] == 0.0
+        assert rows[d]["dup10_frac"] == 0.0
+        assert rows[d]["keep_rep"]
+
+
+def test_ngram_repetition_flags_loops(spark, docs):
+    """Over the real corpus: prose documents keep, a synthetic looped
+    document is rejected, and fractions are within declared bounds."""
+    from perl_html5_dom_spark.operators.textstats import ngram_repetition
+
+    looped = docs.limit(20).selectExpr(
+        "doc_id + 1000000 as doc_id",
+        "concat_ws(' ', array_repeat('spam ham jam', 30)) as text")
+    out = ngram_repetition(docs.select("doc_id", "text").unionAll(looped))
+    agg = out.selectExpr(
+        "max(cast(doc_id >= 1000000 and keep_rep as int)) as bad_keep",
+        "min(cast(doc_id < 1000000 and keep_rep as int)) as some",
+        "max(dup5_frac) as mx").collect()[0]
+    assert agg.bad_keep == 0          # every looped doc rejected
+    assert agg.mx <= 1.0              # dup fractions capped
+    n_keep = out.where("doc_id < 1000000 and keep_rep").count()
+    assert n_keep > 0                 # prose survives
