@@ -3641,6 +3641,45 @@ c"
 |         <tr>
 |           <td>
 |             "def"
+
+
+#data
+a@NUL@b
+#document-fragment
+svg path
+#document
+| "a�b"
+
+#data
+a@NUL@b
+#document-fragment
+svg desc
+#document
+| "ab"
+
+#data
+a@NUL@b<mglyph>c
+#document-fragment
+math mi
+#document
+| "ab"
+| <math mglyph>
+|   "c"
+
+#data
+a@NUL@b<table>c@NUL@d</table>
+#document-fragment
+td
+#document
+| "abcd"
+| <table>
+
+#data
+a@NUL@b
+#document-fragment
+textarea
+#document
+| "a�b"
 """
 ).strip("\n").replace("@NUL@", "\x00")
 
