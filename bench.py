@@ -169,6 +169,11 @@ def main() -> None:
     from perl_html5_dom_spark.operators import linkgraph as lgr
     bench("pagerank", lambda: lgr.pagerank(
         spark.sql(lgr.demo_edges_sql("documents")), iters=5).count())
+    # q5e: Gopher n-gram repetition — zero-shuffle sorted-run folds;
+    # the most expression-heavy pure projection in the suite
+    from perl_html5_dom_spark.operators import textstats as ts_ops
+    bench("ngram_repetition", lambda: ts_ops.ngram_repetition(docs_t)
+          .agg(F.sum(F.col("keep_rep").cast("long")), F.count("*")).collect())
     # q6: ANN top-k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bench("ann_topk", lambda: similarity.brute_force_topk(
