@@ -1199,7 +1199,11 @@ QUERIES = {
     # -- family sentinels kept from the round-4 window --
     "webtext_pipeline": q_webtext_pipeline,
     "serialize_roundtrip": q_serialize_roundtrip,
-    "hostile_serialize": q_hostile_serialize,
+    # hostile_serialize (r4 driver-green) yields its window slot to the
+    # round-5 ngram_repetition so the new operator gets a driver row;
+    # the hostile family keeps four in-window rows (hostile2_inner_text,
+    # hostile2_serialize, hostile_node_counts, hostile_text_content)
+    "ngram_repetition": q_ngram_repetition,
     "detect_encoding": q_detect_encoding,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "pagerank": q_pagerank,
@@ -1283,6 +1287,7 @@ QUERIES = {
     "messy_node_counts": q_messy_node_counts,
     "messy_serialize": q_messy_serialize,
     "microdata": q_microdata,
+    "hostile_serialize": q_hostile_serialize,
     "multimodal_meta": q_multimodal_meta,
     "normalize_text": q_normalize_text,
     "nth_child_odd_li": q_nth_child_odd_li,
@@ -1293,7 +1298,6 @@ QUERIES = {
     "tag_histogram": q_tag_histogram,
     "url_dedup": q_url_dedup,
     "warc_extract": q_warc_extract,
-    "ngram_repetition": q_ngram_repetition,
 }
 
 
