@@ -3680,6 +3680,164 @@ a@NUL@b
 textarea
 #document
 | "a�b"
+
+
+#data
+<table><tr><td><b>x</td><td>y</td></tr></table>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <b>
+|               "x"
+|           <td>
+|             "y"
+|     "z"
+
+#data
+<b><table><td>x</table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <table>
+|         <tbody>
+|           <tr>
+|             <td>
+|               "x"
+|       "y"
+
+#data
+<ul><li>a<ul><li>b</li></ul>c</li>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         "a"
+|         <ul>
+|           <li>
+|             "b"
+|         "c"
+|       "d"
+
+#data
+<dl><dt>a<dd>b<dt>c</dl>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <dl>
+|       <dt>
+|         "a"
+|       <dd>
+|         "b"
+|       <dt>
+|         "c"
+
+#data
+<p>a<h1>b</h1>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <h1>
+|       "b"
+|     "c"
+
+#data
+<h1>a<h2>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <h1>
+|       "a"
+|     <h2>
+|       "b"
+
+#data
+<form><div><form><input></div>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       <div>
+|         <input>
+
+#data
+<button>a<button>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "a"
+|     <button>
+|       "b"
+
+#data
+<a href="x">1<a href="y">2
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="x"
+|       "1"
+|     <a>
+|       href="y"
+|       "2"
+
+#data
+<select><option>a<optgroup>b<option>c</optgroup>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|       <optgroup>
+|         "b"
+|         <option>
+|           "c"
+|       "d"
+
+#data
+<p><b>1<p>2</b>3
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         "1"
+|     <p>
+|       <b>
+|         "2"
+|       "3"
+
+#data
+<table><caption><b>x</caption>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "y"
+|     <table>
+|       <caption>
+|         <b>
+|           "x"
 """
 ).strip("\n").replace("@NUL@", "\x00")
 
