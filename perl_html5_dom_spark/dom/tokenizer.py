@@ -39,6 +39,12 @@ _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c />=][^\t\n\x0c />=]*|=[^\t\n\x0c />=]*")
 _UNQUOTED_VAL_RE = re.compile(r"[^\t\n\x0c >]*")
 _DOCTYPE_RE = re.compile(r"doctype", re.IGNORECASE)
 
+#: script-data escape scanner (WHATWG 13.2.5.18-29): the markers that
+#: change the escaped / double-escaped state or close the element
+_SCRIPT_RE = re.compile(
+    r"(<!--)|(-->)|(</script(?=[\t\n\x0c />]|$))|(<script(?=[\t\n\x0c />]|$))",
+    re.IGNORECASE)
+
 # -- fast paths: whole-tag regexes compiled to C --------------------------
 # Conservative shapes whose semantics are EXACTLY the slow loop's:
 # lowercase-ascii names, attrs only in `name="value"` form (no NUL, no
@@ -237,11 +243,16 @@ class Tokenizer:
             text = src[pos:].replace("\x00", "�")
             return ("char", text, pos, n - pos)
         # find the appropriate end tag
-        pat = re.compile(
-            r"</" + re.escape(self._raw_tag) + r"(?=[\t\n\x0c />]|$)", re.IGNORECASE
-        )
-        m = pat.search(src, pos)
-        if m is None:
+        if mode == "script":
+            end = self._script_end(pos)
+        else:
+            pat = re.compile(
+                r"</" + re.escape(self._raw_tag) + r"(?=[\t\n\x0c />]|$)",
+                re.IGNORECASE
+            )
+            m = pat.search(src, pos)
+            end = None if m is None else m.start()
+        if end is None:
             self._raw_mode = None
             self.pos = n
             if pos >= n:
@@ -250,15 +261,56 @@ class Tokenizer:
             if mode == "rcdata":
                 text = _decode_text(text)
             return ("char", text, pos, n - pos)
-        if m.start() > pos:
-            self.pos = m.start()
-            text = src[pos: m.start()].replace("\x00", "�")
+        if end > pos:
+            self.pos = end
+            text = src[pos:end].replace("\x00", "�")
             if mode == "rcdata":
                 text = _decode_text(text)
-            return ("char", text, pos, m.start() - pos)
+            return ("char", text, pos, end - pos)
         # at the end tag
         self._raw_mode = None
         return self._markup(pos)
+
+    def _script_end(self, pos: int):
+        """Start of the ``</script`` end tag that really closes script
+        data, honoring the escaped / double-escaped tokenizer states
+        (WHATWG 13.2.5.18-29): inside ``<!-- <script> … -->`` the first
+        ``</script>`` only exits the double-escaped state (it is script
+        TEXT), and the element closes at the next one.  None = runs to
+        EOF.  A ``<!--`` match re-exposes its trailing dashes so the
+        dash-dash states' immediate ``<!-->`` / ``<!--->`` exits work."""
+        src = self.src
+        state = 0  # 0 = script data, 1 = escaped, 2 = double-escaped
+        i = pos
+        while True:
+            m = _SCRIPT_RE.search(src, i)
+            if m is None:
+                return None
+            g = m.lastindex
+            if g == 1:
+                # entering (or already in) an escape: the trailing "--"
+                # stays live so the dash-dash states' immediate ">" exit
+                # works (<!--> and <!---> leave script data unescaped)
+                if state == 0:
+                    state = 1
+                i = m.end() - 2
+                continue
+            if state == 0:
+                if g == 3:
+                    return m.start()
+            elif state == 1:
+                if g == 2:
+                    state = 0
+                elif g == 3:
+                    return m.start()
+                elif g == 4:
+                    state = 2
+            else:
+                if g == 2:
+                    state = 0
+                elif g == 3:
+                    state = 1
+            i = m.end()
 
     # -- markup dispatch at '<' -----------------------------------------
     def _markup(self, lt: int):

@@ -3838,6 +3838,107 @@ textarea
 |       <caption>
 |         <b>
 |           "x"
+
+
+#data
+<script><!--<script>a</script>--></script>x
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--<script>a</script>-->"
+|   <body>
+|     "x"
+
+#data
+<script><!--a--></script>x
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--a-->"
+|   <body>
+|     "x"
+
+#data
+<script>a<!--b</script>x
+#document
+| <html>
+|   <head>
+|     <script>
+|       "a<!--b"
+|   <body>
+|     "x"
+
+#data
+<script><!--<script></script>--></script>done
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--<script></script>-->"
+|   <body>
+|     "done"
+
+#data
+<script><!-->a</script>b
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!-->a"
+|   <body>
+|     "b"
+
+#data
+<script><!--->a</script>b
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--->a"
+|   <body>
+|     "b"
+
+#data
+<script><!--<script>x--></script>y
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--<script>x-->"
+|   <body>
+|     "y"
+
+#data
+<script><!--</script>after
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--"
+|   <body>
+|     "after"
+
+#data
+<style><!--</style>x
+#document
+| <html>
+|   <head>
+|     <style>
+|       "<!--"
+|   <body>
+|     "x"
+
+#data
+<title><!--</title>x
+#document
+| <html>
+|   <head>
+|     <title>
+|       "<!--"
+|   <body>
+|     "x"
 """
 ).strip("\n").replace("@NUL@", "\x00")
 
