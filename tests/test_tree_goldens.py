@@ -3939,6 +3939,111 @@ textarea
 |       "<!--"
 |   <body>
 |     "x"
+
+
+#data
+<p id=a id=b CLASS=c>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       class="c"
+|       id="a"
+|       "x"
+
+#data
+<div/>x</div>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       "x"
+|     "y"
+
+#data
+<br/>x<img/><input/>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <br>
+|     "x"
+|     <img>
+|     <input>
+
+#data
+<p a='1'b=2>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a="1"
+|       b="2"
+|       "x"
+
+#data
+<p =x =y>t
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       =x="y"
+|       "t"
+
+#data
+<p a"b=1>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a"b="1"
+|       "x"
+
+#data
+<svg><rect ry=1 RX=2/></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg rect>
+|         rx="2/"
+|         ry="1"
+
+#data
+<p foo>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       foo=""
+|       "x"
+
+#data
+<input type=checkbox checked>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <input>
+|       checked=""
+|       type="checkbox"
+
+#data
+<em a@NUL@b=1>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <em>
+|       a�b="1"
+|       "x"
 """
 ).strip("\n").replace("@NUL@", "\x00")
 
