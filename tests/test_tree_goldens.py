@@ -3332,8 +3332,13 @@ math mi
 
 
 
-# Round-5 family (3): tricky01/webkit-style formatting stress and the
-# data-state NUL matrix.  The multi-iteration adoption-agency case
+# Round-5 family (3): tricky01/webkit-style formatting stress, the
+# data-state NUL matrix (document + fragment contexts), scoping-
+# boundary cases (AFE markers at cell/caption closes, list-item scope,
+# form pointer, select implied closes), the script-data escaped /
+# double-escaped matrix (with style/title as the no-escape contrast),
+# and attribute-state edge forms (duplicate names, = / quote / NUL in
+# names, unquoted-value '/' consumption).  The multi-iteration adoption-agency case
 # (<b>A<cite>B<div>C<address>D</b>E) pins the OUTER loop re-running
 # after a successful pass (WHATWG 13.2.6.7 step 19 jumps back to step
 # 4: the clone re-found as formatting element, address becomes the
