@@ -170,9 +170,12 @@ def main() -> None:
     bench("pagerank", lambda: lgr.pagerank(
         spark.sql(lgr.demo_edges_sql("documents")), iters=5).count())
     # q5e: Gopher n-gram repetition — zero-shuffle sorted-run folds;
-    # the most expression-heavy pure projection in the suite
+    # the most expression-heavy pure projection in the suite.  The
+    # driver parquet is ONE row group (read_docs rationale), so spread
+    # it first or the whole fold runs on a single core.
     from perl_html5_dom_spark.operators import textstats as ts_ops
-    bench("ngram_repetition", lambda: ts_ops.ngram_repetition(docs_t)
+    docs_wide = docs_t.repartition(cpus)
+    bench("ngram_repetition", lambda: ts_ops.ngram_repetition(docs_wide)
           .agg(F.sum(F.col("keep_rep").cast("long")), F.count("*")).collect())
     # q6: ANN top-k
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
