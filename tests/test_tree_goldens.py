@@ -4473,11 +4473,185 @@ DAT13 = r"""
 """
 
 
+# Round-5 family #14: scoping markers, stray table tags, and tokenizer
+# edges.  Table cells push an active-formatting MARKER, so formatting
+# open in one cell neither leaks into the next cell nor answers a stray
+# end tag there; cell close generates implied end tags (open <button>);
+# stray td/tr/caption in body are ignored outright.  Nested <a> and
+# <button> trigger their own implied-close rules (AAA simple case /
+# button-scope pop).  Foreign content honors the self-closing flag
+# (<svg><script/>, <math><script/>) where HTML ignores it (<div/>).
+# Document-level placement: comment before doctype, EOF-in-comment,
+# whitespace before <html> dropped, <frameset> ignored once body has
+# non-whitespace text (frameset-ok flag).  Tokenizer attribute rules:
+# duplicate attribute keeps the FIRST value, names are lowercased but
+# values keep case.  Every expectation hand-derived from WHATWG
+# 13.2.5/13.2.6 and adjudicated against the engine before pinning.
+DAT14 = r"""
+#data
+<table><tr><td><b>x<td>y</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <b>
+|               "x"
+|           <td>
+|             "y"
+
+#data
+<table><tr><td><button>1<td>2</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <button>
+|               "1"
+|           <td>
+|             "2"
+
+#data
+<td><tr><caption>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+<a>1<a>2</a>3
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       "1"
+|     <a>
+|       "2"
+|     "3"
+
+#data
+<button>1<button>2
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "1"
+|     <button>
+|       "2"
+
+#data
+<svg><script/>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg script>
+|       "y"
+
+#data
+<div/>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       "x"
+
+#data
+<!--c--><!DOCTYPE html><p>x
+#document
+| <!-- c -->
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!--x
+#document
+| <!-- x -->
+| <html>
+|   <head>
+|   <body>
+
+#data
+<p id=a id=b>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       id="a"
+|       "x"
+
+#data
+<p ID=A>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       id="A"
+|       "x"
+
+#data
+  <html><body>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+<body>x<frameset>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+<table><tr><td>1</b>2</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "12"
+
+#data
+<math><script/>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math script>
+|       "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
-         + parse_dat(DAT13))
+         + parse_dat(DAT13) + parse_dat(DAT14))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
