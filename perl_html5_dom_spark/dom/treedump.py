@@ -32,7 +32,13 @@ _ATTR_NS_PREFIX = {
 }
 
 
-def _attr_line(name: str) -> str:
+def _attr_line(name: str, ns: int) -> str:
+    # Only FOREIGN elements run "adjust foreign attributes" (WHATWG
+    # 13.2.6.2), so only their xlink:/xml:/xmlns attributes are
+    # namespaced; on an HTML element the same spelling is a literal
+    # attribute name and the corpus dumps it verbatim (xml:lang="en").
+    if ns == NS_HTML:
+        return name
     for pre, label in _ATTR_NS_PREFIX.items():
         if name.startswith(pre) and name != "xmlns:":
             local = name[len(pre):] if pre.endswith(":") else name
@@ -71,7 +77,7 @@ def tree_format(doc, root: int | None = None) -> str:
             out.append(pad + "<" + _NS_PREFIX.get(ns, "") + doc.tag[nid] + ">")
             apad = "| " + "  " * (level + 1)
             for name, value in sorted((doc.attrs[nid] or {}).items()):
-                out.append(apad + _attr_line(name) + f'="{value}"')
+                out.append(apad + _attr_line(name, ns) + f'="{value}"')
             if ns == NS_HTML and doc.tag[nid] == "template":
                 out.append(apad + "content")
                 child_level += 1

@@ -4647,11 +4647,190 @@ DAT14 = r"""
 """
 
 
+# Round-5 family #15: tests12/15/19/22 corpus territory.  Heading end
+# tag popping an open <a> that then reconstructs (tests22), formatting
+# reconstruction across <li>s and after </p> with the <b> left in the
+# AFE, CDATA bracket-run counting (]] before the ]]> close), <main> in
+# the close-a-p set, HTML re-entry inside <foreignObject> spawning a
+# fresh foreign root, <noframes> RAWTEXT while still "in head", EOF in
+# foreign content, implied <p> closes inside a cell, the AAA
+# no-furthest-block simple case popping ORDINARY unknown elements
+# above the formatting element, and <wbr> as a void element.
+# Attribute-namespace rows pin a real round-5 dump bug found while
+# authoring this family: xml:/xlink:/xmlns attributes are namespaced
+# ONLY on foreign elements ("adjust foreign attributes", WHATWG
+# 13.2.6.2) — on HTML elements the same spelling is a literal
+# attribute name and dumps verbatim (xml:lang="en" / xmlns:v="urn"),
+# where the dump previously emitted the foreign two-token form for
+# both (dom/treedump.py _attr_line now takes the element namespace).
+DAT15 = r"""
+#data
+<h1><a>x</h1>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <h1>
+|       <a>
+|         "x"
+|     <a>
+|       "y"
+
+#data
+<ul><li><b>1<li>2</ul>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         <b>
+|           "1"
+|       <li>
+|         <b>
+|           "2"
+
+#data
+<p><b></p>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|     <b>
+|       "x"
+
+#data
+<svg><![CDATA[a]]]]>b</svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "a]]b"
+
+#data
+<p xml:lang=en>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       xml:lang="en"
+|       "x"
+
+#data
+<html xmlns:v=urn><p xmlns=w>
+#document
+| <html>
+|   xmlns:v="urn"
+|   <head>
+|   <body>
+|     <p>
+|       xmlns="w"
+
+#data
+<svg xlink:href=u xml:lang=en><circle/>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       xlink href="u"
+|       xml lang="en"
+|       <svg circle>
+
+#data
+<p>a<main>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <main>
+|       "b"
+
+#data
+<svg><g><foreignObject><p>x<svg><circle>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg g>
+|         <svg foreignObject>
+|           <p>
+|             "x"
+|             <svg svg>
+|               <svg circle>
+
+#data
+<noframes>x</noframes>y
+#document
+| <html>
+|   <head>
+|     <noframes>
+|       "x"
+|   <body>
+|     "y"
+
+#data
+<svg><g>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg g>
+
+#data
+<table><tr><td><p>1<p>2</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <p>
+|               "1"
+|             <p>
+|               "2"
+
+#data
+<b><em><foo><bar>x</em>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <em>
+|         <foo>
+|           <bar>
+|             "x"
+|       "y"
+
+#data
+<wbr>x<wbr>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <wbr>
+|     "x"
+|     <wbr>
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
-         + parse_dat(DAT13) + parse_dat(DAT14))
+         + parse_dat(DAT13) + parse_dat(DAT14)
+         + parse_dat(DAT15))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
