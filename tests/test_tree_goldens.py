@@ -4825,12 +4825,128 @@ DAT15 = r"""
 """
 
 
+# Round-5 family #16: adoption02 / pending-spec-changes territory.
+# The AAA inner-loop clone case (<b>1<i>2<p>3</b>4: <i> is cloned,
+# the <p> moves into the clone, and the trailing text lands in the
+# furthest block next to the <b> clone); the frameset-ok flag matrix
+# for <input> (type=hidden preserves it, so a later <frameset>
+# REPLACES the body; any other type clears it); a cell's AFE marker
+# blocking </b> from reaching a formatting element opened before the
+# table, with the text after </table> continuing INSIDE that still-
+# open <b>; "any other end tag" aborting at a special element
+# (</span> ignored when <button> is current); text between table
+# rows fostering while <td> re-opens a fresh <tr>; and nested-list
+# implied ends.  Every expectation hand-derived from WHATWG
+# 13.2.6.4.7/13.2.6.4.9-13 and adjudicated against the engine before
+# pinning.
+DAT16 = r"""
+#data
+<b>1<i>2<p>3</b>4
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "1"
+|       <i>
+|         "2"
+|     <i>
+|       <p>
+|         <b>
+|           "3"
+|         "4"
+
+#data
+<!DOCTYPE html><input type="hidden"><frameset>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <frameset>
+
+#data
+<!DOCTYPE html><input type="text"><frameset>
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <input>
+|       type="text"
+
+#data
+<b>a<table><tr><td></b>b</td></tr></table>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "a"
+|       <table>
+|         <tbody>
+|           <tr>
+|             <td>
+|               "b"
+|       "c"
+
+#data
+<p>a<center>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <center>
+|       "b"
+
+#data
+<span><button>x</span>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <span>
+|       <button>
+|         "xy"
+
+#data
+<table><tr></tr>x<td>y</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <tbody>
+|         <tr>
+|         <tr>
+|           <td>
+|             "y"
+
+#data
+<ol><li>1<ol><li>2</ol>3</ol>4
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ol>
+|       <li>
+|         "1"
+|         <ol>
+|           <li>
+|             "2"
+|         "3"
+|     "4"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
          + parse_dat(DAT13) + parse_dat(DAT14)
-         + parse_dat(DAT15))
+         + parse_dat(DAT15) + parse_dat(DAT16))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
