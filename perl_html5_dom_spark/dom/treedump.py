@@ -16,6 +16,7 @@ from .constants import (
     COMMENT_NODE,
     DOCTYPE_NODE,
     ELEMENT_NODE,
+    FOREIGN_ATTR_ADJUSTMENTS,
     NS_HTML,
     NS_MATHML,
     NS_SVG,
@@ -23,13 +24,6 @@ from .constants import (
 )
 
 _NS_PREFIX = {NS_SVG: "svg ", NS_MATHML: "math "}
-_ATTR_NS_PREFIX = {
-    # html5lib format spells foreign attribute namespaces as prefixes
-    "xlink:": "xlink ",
-    "xml:": "xml ",
-    "xmlns:": "xmlns ",
-    "xmlns": "xmlns ",
-}
 
 
 def _attr_line(name: str, ns: int) -> str:
@@ -37,15 +31,15 @@ def _attr_line(name: str, ns: int) -> str:
     # 13.2.6.2), so only their xlink:/xml:/xmlns attributes are
     # namespaced; on an HTML element the same spelling is a literal
     # attribute name and the corpus dumps it verbatim (xml:lang="en").
-    if ns == NS_HTML:
+    # And the adjustment is a FIXED table of qualified names, not a
+    # prefix rule: xlink:href is namespaced but xlink:foo stays a
+    # literal attribute name even on a foreign element.
+    if ns == NS_HTML or (name not in FOREIGN_ATTR_ADJUSTMENTS):
         return name
-    for pre, label in _ATTR_NS_PREFIX.items():
-        if name.startswith(pre) and name != "xmlns:":
-            local = name[len(pre):] if pre.endswith(":") else name
-            if name == "xmlns":
-                return "xmlns xmlns"
-            return label + local
-    return name
+    if name == "xmlns":
+        return "xmlns xmlns"
+    prefix, _, local = name.partition(":")
+    return f"{prefix} {local}"
 
 
 def tree_format(doc, root: int | None = None) -> str:

@@ -4941,12 +4941,196 @@ DAT16 = r"""
 """
 
 
+# Round-5 family #17: Noah's Ark is ATTRIBUTE-sensitive (WHATWG
+# 13.2.6.3 "push onto the list of active formatting elements":
+# "same tag name, namespace, and attributes" — a 4th <b> with a
+# different class is kept; attribute ORDER is irrelevant to the
+# comparison; eviction removes from the LIST only, so the source
+# <p> keeps all four elements while reconstruction yields three);
+# multi-codepoint named character references (&NotEqualTilde; =>
+# U+2242 U+0338, &fjlig; => "fj", &ThickSpace; => U+205F U+200A,
+# per the WHATWG named-references table) and the ambiguous-ampersand
+# literal passthrough (&xyzzy;); "adjust foreign attributes"
+# (13.2.6.2) as a FIXED table of qualified names — xlink:href/
+# xml:base/xmlns/xmlns:xlink are namespaced on foreign elements but
+# xlink:foo/xml:foo/xmlns:foo stay literal attribute names (authoring
+# this family found and fixed a dump bug: any xlink:/xml:/xmlns:
+# prefix was namespaced); prefixed element names are literal both in
+# HTML content (<html:div>) and as unadjusted foreign start tags
+# (<html:path> inside <svg>); and the foreign-content "any other end
+# tag" walk reaching an HTML <a> and running the adoption agency
+# with NO furthest block (plain svg/tr/input are not in the special
+# category), popping everything to the formatting element.
+DAT17 = r"""
+#data
+<p><b class=x><b class=x><b class=x><b class=y>x</p><p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         class="x"
+|         <b>
+|           class="x"
+|           <b>
+|             class="x"
+|             <b>
+|               class="y"
+|               "x"
+|     <p>
+|       <b>
+|         class="x"
+|         <b>
+|           class="x"
+|           <b>
+|             class="x"
+|             <b>
+|               class="y"
+|               "y"
+
+#data
+<p><b class=x><b class=x><b class=x><b class=x>x</p><p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         class="x"
+|         <b>
+|           class="x"
+|           <b>
+|             class="x"
+|             <b>
+|               class="x"
+|               "x"
+|     <p>
+|       <b>
+|         class="x"
+|         <b>
+|           class="x"
+|           <b>
+|             class="x"
+|             "y"
+
+#data
+<p><b a=1 b=2><b b=2 a=1><b a=1 b=2><b b=2 a=1>x</p><p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         a="1"
+|         b="2"
+|         <b>
+|           a="1"
+|           b="2"
+|           <b>
+|             a="1"
+|             b="2"
+|             <b>
+|               a="1"
+|               b="2"
+|               "x"
+|     <p>
+|       <b>
+|         a="1"
+|         b="2"
+|         <b>
+|           a="1"
+|           b="2"
+|           <b>
+|             a="1"
+|             b="2"
+|             "y"
+
+#data
+<p>&NotEqualTilde;&CounterClockwiseContourIntegral;&fjlig;
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "≂̸∳fj"
+
+#data
+<p>&ngE;&xyzzy;&ThickSpace;z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "≧̸&xyzzy;  z"
+
+#data
+<svg xmlns="http://www.w3.org/2000/svg" xmlns:xlink="http://www.w3.org/1999/xlink"><g xlink:href="#a"/></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       xmlns xmlns="http://www.w3.org/2000/svg"
+|       xmlns xlink="http://www.w3.org/1999/xlink"
+|       <svg g>
+|         xlink href="#a"
+
+#data
+<svg xlink:foo=1 xml:foo=2 xmlns:foo=3 xlink:href=4 xml:base=5></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       xlink:foo="1"
+|       xlink href="4"
+|       xml base="5"
+|       xml:foo="2"
+|       xmlns:foo="3"
+
+#data
+<math xmlns:xlink="http://www.w3.org/1999/xlink" xml:space=preserve><mi xml:id=a>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       xml space="preserve"
+|       xmlns xlink="http://www.w3.org/1999/xlink"
+|       <math mi>
+|         xml:id="a"
+
+#data
+<html:div><svg><html:path/></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <html:div>
+|       <svg svg>
+|         <svg html:path>
+
+#data
+<a><svg><tr><input></a>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       <svg svg>
+|         <svg tr>
+|           <svg input>
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
          + parse_dat(DAT13) + parse_dat(DAT14)
-         + parse_dat(DAT15) + parse_dat(DAT16))
+         + parse_dat(DAT15) + parse_dat(DAT16)
+         + parse_dat(DAT17))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
