@@ -5124,13 +5124,185 @@ DAT17 = r"""
 """
 
 
+# Round-5 family #18: CDATA-section tokenizer edges in foreign content
+# (WHATWG 13.2.5.69-71: empty section, "]]" inside the payload via the
+# bracket/end-state reconsume rule, EOF inside the section and in the
+# end state) vs the HTML-content bogus-comment form (<![CDATA[x]]> in
+# a <p> becomes a comment whose data includes the brackets); the
+# DOCTYPE tokenizer edge matrix (missing whitespace before the name,
+# missing-quote-after-PUBLIC dropping both ids, junk after a complete
+# system id taking the bogus-DOCTYPE path but KEEPING the id,
+# public-id-only and nameless forms — dumped in the corpus's
+# empty-string quoting convention); and template/table interplay
+# (template inserted IN the table without fostering via the in-head
+# rules, td inside template content via the template insertion-mode
+# stack stopping "clear to table-row context" at the template, and
+# non-whitespace table text after </template> fostering before the
+# table while the template kept its content).  Every expectation
+# hand-derived from WHATWG 13.2.5/13.2.6 before pinning.
+DAT18 = r"""
+#data
+<svg><![CDATA[]]></svg>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|     "x"
+
+#data
+<svg><![CDATA[a]]b]]></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "a]]b"
+
+#data
+<svg><![CDATA[a
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "a"
+
+#data
+<svg><![CDATA[a]]
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       "a]]"
+
+#data
+<p><![CDATA[x]]>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <!-- [CDATA[x]] -->
+
+#data
+<!DOCTYPEhtml><p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!DOCTYPE html PUBLIC><p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!DOCTYPE html SYSTEM 'x' junk><p>x
+#document
+| <!DOCTYPE html "" "x">
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!DOCTYPE html PUBLIC "a" "b" ><p>x
+#document
+| <!DOCTYPE html "a" "b">
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!DOCTYPE html PUBLIC "a"><p>x
+#document
+| <!DOCTYPE html "a" "">
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!DOCTYPE ><p>x
+#document
+| <!DOCTYPE >
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<table><template><tr><td>a</td></tr></template></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <template>
+|         content
+|           <tr>
+|             <td>
+|               "a"
+
+#data
+<table><tr><template><td>x</td></template></tr></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <template>
+|             content
+|               <td>
+|                 "x"
+
+#data
+<table><template>x</template>y</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "y"
+|     <table>
+|       <template>
+|         content
+|           "x"
+
+#data
+<body><template><frame></template>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <template>
+|       content
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
          + parse_dat(DAT13) + parse_dat(DAT14)
          + parse_dat(DAT15) + parse_dat(DAT16)
-         + parse_dat(DAT17))
+         + parse_dat(DAT17) + parse_dat(DAT18))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
