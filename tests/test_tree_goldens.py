@@ -5296,13 +5296,153 @@ DAT18 = r"""
 """
 
 
+# Round-5 family #19: select/optgroup implied-end machinery (in-select
+# optgroup pops an open option AND a current optgroup; in-BODY option/
+# optgroup only pop an open option, so <option> nests inside an open
+# <optgroup>); the after-head routing rules (whitespace goes into the
+# <html> element while link/title/base re-enter the HEAD via the
+# in-head rules — the head element pointer); the after-frameset /
+# after-after-frameset states (whitespace kept, non-whitespace
+# dropped, comments land on <html> vs the Document); a table nested
+# inside <caption> (inner </table> resets the insertion mode back to
+# "in caption" via reset-the-insertion-mode, text after </caption>
+# fostering before the OUTER table only); and the reference-era
+# in-select "anything else: ignore" legacy for table/tr start tags.
+# Every expectation hand-derived from WHATWG 13.2.6.4.6/.4.16/.4.19-22
+# (with the documented reference-era select deviation) before pinning.
+DAT19 = r"""
+#data
+<select><optgroup><option>a</optgroup><option>b<optgroup><option>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <optgroup>
+|         <option>
+|           "a"
+|       <option>
+|         "b"
+|       <optgroup>
+|         <option>
+|           "c"
+
+#data
+<select><option>a<option>b</select>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+|     "x"
+
+#data
+<option>a<option>b<optgroup>c<option>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <option>
+|       "a"
+|     <option>
+|       "b"
+|     <optgroup>
+|       "c"
+|       <option>
+|         "d"
+
+#data
+</head> <link><p>x
+#document
+| <html>
+|   <head>
+|     <link>
+|   " "
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<head></head><title>t</title><p>x
+#document
+| <html>
+|   <head>
+|     <title>
+|       "t"
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<head></head><base href=a><body>x
+#document
+| <html>
+|   <head>
+|     <base>
+|       href="a"
+|   <body>
+|     "x"
+
+#data
+<frameset><frame></frameset> x<!--c--><p>
+#document
+| <html>
+|   <head>
+|   <frameset>
+|     <frame>
+|   " "
+|   <!-- c -->
+
+#data
+<frameset></frameset></html> <!--c-->x
+#document
+| <html>
+|   <head>
+|   <frameset>
+|   " "
+| <!-- c -->
+
+#data
+<table><caption>a<table><tr><td>b</table>c</caption>d</table>e
+#document
+| <html>
+|   <head>
+|   <body>
+|     "d"
+|     <table>
+|       <caption>
+|         "a"
+|         <table>
+|           <tbody>
+|             <tr>
+|               <td>
+|                 "b"
+|         "c"
+|     "e"
+
+#data
+<select><table><tr>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       "x"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
          + parse_dat(DAT10) + parse_dat(DAT11) + parse_dat(DAT12)
          + parse_dat(DAT13) + parse_dat(DAT14)
          + parse_dat(DAT15) + parse_dat(DAT16)
-         + parse_dat(DAT17) + parse_dat(DAT18))
+         + parse_dat(DAT17) + parse_dat(DAT18)
+         + parse_dat(DAT19))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

@@ -121,6 +121,7 @@ def selftest() -> int:
         (Path(td) / "goldensG.dat").write_text(G.DAT16.strip("\n") + "\n")
         (Path(td) / "goldensH.dat").write_text(G.DAT17.strip("\n") + "\n")
         (Path(td) / "goldensI.dat").write_text(G.DAT18.strip("\n") + "\n")
+        (Path(td) / "goldensJ.dat").write_text(G.DAT19.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
