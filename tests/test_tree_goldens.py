@@ -5435,6 +5435,167 @@ DAT19 = r"""
 """
 
 
+# Round-5 family #20: the a-in-a implicit adoption run (a second <a>
+# start tag triggers the agency for the OPEN one, with no furthest
+# block inside <p>, then both reconstruct on either side of </p>);
+# button-scope (a second <button> implies </button> through an open
+# <p>); the rawtext trio noembed/iframe/xmp taking markup literally;
+# AAA furthest-block selection (an unknown element is NOT special, so
+# <foo><bar> under the formatting chain give no furthest block and
+# the simple pop path runs, while <aside> IS special and the full
+# agency reparents it — with trailing text landing in the furthest
+# block, not the clone, per the adoption01 convention pinned in
+# earlier families); a stray </li> with no list item in scope; dt/dd
+# implied-end chains; and the tricky01 interleaved <s>/<b> double
+# reconstruction.  Every expectation hand-derived from WHATWG
+# 13.2.6.4.7/13.2.6.7 before pinning.
+DAT20 = r"""
+#data
+<a href=a>1<p>2<a href=b>3</p>4
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="a"
+|       "1"
+|     <p>
+|       <a>
+|         href="a"
+|         "2"
+|       <a>
+|         href="b"
+|         "3"
+|     <a>
+|       href="b"
+|       "4"
+
+#data
+<button>1<p>2<button>3
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "1"
+|       <p>
+|         "2"
+|     <button>
+|       "3"
+
+#data
+<noembed><b>x</noembed><b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <noembed>
+|       "<b>x"
+|     <b>
+|       "y"
+
+#data
+<iframe>a</iframe>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <iframe>
+|       "a"
+|     "b"
+
+#data
+<xmp><b>x</xmp>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <xmp>
+|       "<b>x"
+|     "y"
+
+#data
+<b><em><foo><aside>x</b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <em>
+|         <foo>
+|     <em>
+|       <aside>
+|         <b>
+|           "x"
+|         "y"
+
+#data
+<b><em><foo><bar>x</b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <em>
+|         <foo>
+|           <bar>
+|             "x"
+|     <em>
+|       "y"
+
+#data
+<li>a<li>b</li></li>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <li>
+|       "a"
+|     <li>
+|       "b"
+|     "c"
+
+#data
+<dl><dt>a<dd>b<dt>c</dl>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <dl>
+|       <dt>
+|         "a"
+|       <dd>
+|         "b"
+|       <dt>
+|         "c"
+|     "d"
+
+#data
+<p>1<s id=A>2<b id=B>3</p>4</s>5</b>6
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "1"
+|       <s>
+|         id="A"
+|         "2"
+|         <b>
+|           id="B"
+|           "3"
+|     <s>
+|       id="A"
+|       <b>
+|         id="B"
+|         "4"
+|     <b>
+|       id="B"
+|       "5"
+|     "6"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -5442,7 +5603,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT13) + parse_dat(DAT14)
          + parse_dat(DAT15) + parse_dat(DAT16)
          + parse_dat(DAT17) + parse_dat(DAT18)
-         + parse_dat(DAT19))
+         + parse_dat(DAT19) + parse_dat(DAT20))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
