@@ -5596,6 +5596,139 @@ DAT20 = r"""
 """
 
 
+# Round-5 family #21: foreign-content tokenization is NEVER rawtext —
+# <script> inside <svg> holds child text until </script> pops it by
+# the foreign end-tag rule, and <b> (a breakout tag) pops the whole
+# foreign stack mid-script while <style> (not in the breakout list)
+# stays foreign; EOF truncation forms (a bare "<" and "a&" flush as
+# literal text; EOF inside an attribute value or tag name drops the
+# whole token); and the attribute-name tokenizer error-recovery
+# matrix ("=" starting an attribute name, "<" kept in a name,
+# quote-then-name with missing whitespace, "=" inside an unquoted
+# value, '"' kept in a name, and "/" without ">" rejoining
+# before-attribute-name without self-closing).  Every expectation
+# hand-derived from WHATWG 13.2.5.32-40/13.2.6.5 before pinning.
+DAT21 = r"""
+#data
+<svg><script>a<b>c</script>d</svg>e
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg script>
+|         "a"
+|     <b>
+|       "cde"
+
+#data
+<svg><style>a{}</style>b</svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg style>
+|         "a{}"
+|       "b"
+
+#data
+<p><
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "<"
+
+#data
+<p>a&
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a&"
+
+#data
+<p><a href="x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+
+#data
+<table><td
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+
+#data
+<p =x>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       =x=""
+|       "y"
+
+#data
+<p <p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <p=""
+|       "y"
+
+#data
+<p a='b'c=d>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a="b"
+|       c="d"
+|       "y"
+
+#data
+<p a=b=c>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a="b=c"
+|       "y"
+
+#data
+<p a"b=c>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a"b="c"
+|       "y"
+
+#data
+<p/ a=b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       a="b"
+|       "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -5603,7 +5736,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT13) + parse_dat(DAT14)
          + parse_dat(DAT15) + parse_dat(DAT16)
          + parse_dat(DAT17) + parse_dat(DAT18)
-         + parse_dat(DAT19) + parse_dat(DAT20))
+         + parse_dat(DAT19) + parse_dat(DAT20)
+         + parse_dat(DAT21))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
