@@ -5729,6 +5729,107 @@ DAT21 = r"""
 """
 
 
+# Round-5 family #22: fragment contexts the earlier families did not
+# sample.  frameset context ("in frameset": non-whitespace characters
+# dropped, whitespace kept, nested <frameset>/<frame> inserted,
+# <noframes> via the in-head rules); head context (pure head
+# machinery: RCDATA title, void link/meta, rawtext style); caption
+# context (the in-caption fragment guards: td and </caption> both
+# ignored when no caption is in table scope); option context (resets
+# to "in body": a second <option> pops the open one); select context
+# (a nested <select> start tag acts as </select>, which the fragment
+# guard ignores); body context (</body> ignored with no body in
+# scope — text continues at the root); and the reset-the-insertion-
+# mode nuance that ONLY td/th carry the "last is false" condition —
+# a td context falls through to "in body" where stray tr/td/</table>
+# are ignored, while a colgroup context unconditionally selects
+# "in column group" where <col> inserts and <tr> hits the fragment
+# guard.  Every expectation hand-derived from WHATWG 13.4 +
+# 13.2.6.4.6-22 before pinning.
+DAT22 = r"""
+#data
+<frame>x<frameset>
+#document-fragment
+frameset
+#document
+| <frame>
+| <frameset>
+
+#data
+<noframes>x</noframes> <frame>
+#document-fragment
+frameset
+#document
+| <noframes>
+|   "x"
+| " "
+| <frame>
+
+#data
+<title>t</title><link><meta charset=utf-8><style>a{}</style>
+#document-fragment
+head
+#document
+| <title>
+|   "t"
+| <link>
+| <meta>
+|   charset="utf-8"
+| <style>
+|   "a{}"
+
+#data
+<td>a</caption>b
+#document-fragment
+caption
+#document
+| "ab"
+
+#data
+a<option>b<option>c
+#document-fragment
+option
+#document
+| "a"
+| <option>
+|   "b"
+| <option>
+|   "c"
+
+#data
+<select>x<option>y
+#document-fragment
+select
+#document
+| "x"
+| <option>
+|   "y"
+
+#data
+x</body><!--c-->y
+#document-fragment
+body
+#document
+| "x"
+| <!-- c -->
+| "y"
+
+#data
+<tr><td>a</table>b
+#document-fragment
+td
+#document
+| "ab"
+
+#data
+<col><tr>
+#document-fragment
+colgroup
+#document
+| <col>
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -5737,7 +5838,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT15) + parse_dat(DAT16)
          + parse_dat(DAT17) + parse_dat(DAT18)
          + parse_dat(DAT19) + parse_dat(DAT20)
-         + parse_dat(DAT21))
+         + parse_dat(DAT21) + parse_dat(DAT22))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
