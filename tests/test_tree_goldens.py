@@ -5830,6 +5830,140 @@ colgroup
 """
 
 
+# Round-5 family #23: script-data escape permutations beyond the DAT14
+# matrix (an inner </script> leaving the DOUBLE-escaped state while
+# the outer close is still honored; --> exiting double-escape; an
+# escaped block followed by a literal dash-run before the real
+# close); RCDATA entity-vs-tag semantics (&amp; decodes while <b>
+# stays literal in <title>; entities decode in <textarea> and ONLY
+# the first newline after the start tag is dropped); an unterminated
+# comment flushed at EOF with its partial data; comment dash-run
+# forms (--- between dashes, the five-dash <!-----> keeping one dash
+# of data, the four-dash empty comment); and an SVG foreignObject
+# HTML integration point where </foreignObject> is IGNORED because
+# the any-other-end-tag walk reaches special <p> first — the
+# trailing text stays inside the paragraph.  Every expectation
+# hand-derived from WHATWG 13.2.5.44-52 (comment states),
+# 13.2.5.15-32 (script data), 13.2.6.5 before pinning.
+DAT23 = r"""
+#data
+<script><!--<script></script>-->x</script>y
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--<script></script>-->x"
+|   <body>
+|     "y"
+
+#data
+<script><!--<script>--></script>x
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!--<script>-->"
+|   <body>
+|     "x"
+
+#data
+<script><!-- - --> ---></script>
+#document
+| <html>
+|   <head>
+|     <script>
+|       "<!-- - --> --->"
+|   <body>
+
+#data
+<title>&amp;<b></title>x
+#document
+| <html>
+|   <head>
+|     <title>
+|       "&<b>"
+|   <body>
+|     "x"
+
+#data
+<textarea>&lt;b&gt;
+x</textarea>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "<b>
+x"
+
+#data
+<textarea>
+
+x</textarea>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "
+x"
+
+#data
+<p>x<!-- y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|       <!--  y -->
+
+#data
+<!-- a -- b -->z
+#document
+| <!--  a -- b  -->
+| <html>
+|   <head>
+|   <body>
+|     "z"
+
+#data
+<!----->z
+#document
+| <!-- - -->
+| <html>
+|   <head>
+|   <body>
+|     "z"
+
+#data
+<!---->z
+#document
+| <!--  -->
+| <html>
+|   <head>
+|   <body>
+|     "z"
+
+#data
+<svg><foreignObject><p>a<table><tr><td>b</table></foreignObject>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg foreignObject>
+|         <p>
+|           "a"
+|           <table>
+|             <tbody>
+|               <tr>
+|                 <td>
+|                   "b"
+|           "c"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -5838,7 +5972,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT15) + parse_dat(DAT16)
          + parse_dat(DAT17) + parse_dat(DAT18)
          + parse_dat(DAT19) + parse_dat(DAT20)
-         + parse_dat(DAT21) + parse_dat(DAT22))
+         + parse_dat(DAT21) + parse_dat(DAT22)
+         + parse_dat(DAT23))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
