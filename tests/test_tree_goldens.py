@@ -5964,6 +5964,119 @@ x"
 """
 
 
+# Round-5 family #24: </caption> reached from inside foreign content
+# (the foreign end-tag walk hands off to "in caption" at the first
+# HTML ancestor); comment tokens in table contexts flush pending
+# fostered characters but are NOT themselves fostered (comments land
+# in table/tr/td); td directly in <thead> synthesizing a <tr>; a
+# second <tbody> clearing back to table context (siblings, not
+# nesting); EOF inside an open template (tr in template content maps
+# to "in table body" with NO tbody synthesis — the template is the
+# clear boundary); self-closing ignored on an HTML <div>; and
+# <caption> inside a select-in-table popping the select, closing the
+# cell, and clearing to table context.  Every expectation
+# hand-derived from WHATWG 13.2.6.4.9-17 before pinning.
+DAT24 = r"""
+#data
+<table><caption><svg>x</caption>y</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "y"
+|     <table>
+|       <caption>
+|         <svg svg>
+|           "x"
+
+#data
+<table>x<!--c--></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <!-- c -->
+
+#data
+<table><!--a--><tr><!--b--><td><!--c--></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <!-- a -->
+|       <tbody>
+|         <tr>
+|           <!-- b -->
+|           <td>
+|             <!-- c -->
+
+#data
+<table><thead><td>x</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <thead>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<table><tbody><tbody><tr><td>x</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<template><tr><td>x
+#document
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <tr>
+|           <td>
+|             "x"
+|   <body>
+
+#data
+<div/>x</div>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       "x"
+|     "y"
+
+#data
+<table><tr><td><select><caption>x</table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|       <caption>
+|         "x"
+|     "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -5973,7 +6086,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT17) + parse_dat(DAT18)
          + parse_dat(DAT19) + parse_dat(DAT20)
          + parse_dat(DAT21) + parse_dat(DAT22)
-         + parse_dat(DAT23))
+         + parse_dat(DAT23) + parse_dat(DAT24))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
