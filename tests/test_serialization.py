@@ -181,6 +181,14 @@ def test_round4_fuzz_fixes_roundtrip():
     assert fix("<i = >x")
     assert fix("<i ==x>y")
     assert fix('<i ="q">y')
+    # 5. '<' and '"' kept inside attribute names (13.2.5.33 parse
+    # errors that preserve the char) must survive the round trip,
+    # as must quote-then-name with missing whitespace
+    assert fix("<p <p>y")
+    assert fix('<p a"b=c>y')
+    assert fix("<p a='b'c=d>y")
+    assert fix("<p a=b=c>y")
+    assert fix("<p/ a=b>y")
 
 
 def test_attr_name_equals_forms():
