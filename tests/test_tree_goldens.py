@@ -6077,6 +6077,125 @@ DAT24 = r"""
 """
 
 
+# Round-5 family #25: in-column-group text handling (whitespace kept
+# inside the colgroup, non-whitespace popping it and fostering, a
+# later <col> opening a SECOND colgroup); th closed by td through the
+# in-cell rules; a second <caption> closing the first and clearing
+# the AFE marker; </html> from in-body reaching after-after-body and
+# a later character re-entering in-body (so the following comment
+# lands in <body>, not on the Document); a repeated <head> ignored
+# in after-head; a DOCTYPE after character data ignored (quirks); and
+# the namespace-dispatch contrast pair — <math> inside <svg> and
+# <svg> inside <math> inherit the ADJUSTED CURRENT NODE's namespace
+# (no re-dispatch outside integration points), while <svg> at an
+# mtext TEXT integration point goes through the in-body rules and
+# gets the real SVG namespace.  Every expectation hand-derived from
+# WHATWG 13.2.6.4.12/.4.11/.4.19/13.2.6.5 before pinning.
+DAT25 = r"""
+#data
+<table><colgroup> <col>x<col></table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <colgroup>
+|         " "
+|         <col>
+|       <colgroup>
+|         <col>
+|     "y"
+
+#data
+<table><tr><th>a<td>b</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <th>
+|             "a"
+|           <td>
+|             "b"
+
+#data
+<table><caption>a<caption>b</table>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "a"
+|       <caption>
+|         "b"
+|     "c"
+
+#data
+<body>x</html>y<!--c-->
+#document
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+|     <!-- c -->
+
+#data
+<head></head><head>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+x<!DOCTYPE html><p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <p>
+|       "y"
+
+#data
+<svg><math><mi>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg math>
+|         <svg mi>
+|           "x"
+
+#data
+<math><svg>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math svg>
+|         "x"
+
+#data
+<math><mtext><svg>x</svg></mtext>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mtext>
+|         <svg svg>
+|           "x"
+|       "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6086,7 +6205,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT17) + parse_dat(DAT18)
          + parse_dat(DAT19) + parse_dat(DAT20)
          + parse_dat(DAT21) + parse_dat(DAT22)
-         + parse_dat(DAT23) + parse_dat(DAT24))
+         + parse_dat(DAT23) + parse_dat(DAT24)
+         + parse_dat(DAT25))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
