@@ -6196,6 +6196,102 @@ x<!DOCTYPE html><p>y
 """
 
 
+# Round-5 family #26: the form element pointer lifecycle — a nested
+# <form> is ignored while the pointer is set, EXCEPT inside template
+# content (the template-on-stack escape hatch, which also leaves the
+# pointer untouched so a form after </template> still works); </form>
+# clears the pointer so a sibling form inserts; a second <select>
+# inside an open select acts as </select> and pops the OUTER one (the
+# next option lands in body); the era void set basefont/bgsound (in
+# head) and wbr/keygen (in body) inserting without children; and the
+# in-table <form> special case (insert then pop immediately — the
+# form stays empty inside the table while following text fosters, and
+# the later </form> finds its pointer element already off the
+# stack).  Every expectation hand-derived from WHATWG 13.2.6.4.7/.4.9
+# (reference-era void list) before pinning.
+DAT26 = r"""
+#data
+<form>a<template><form>b</form></template>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       "a"
+|       <template>
+|         content
+|           <form>
+|             "b"
+|       "c"
+
+#data
+<form>a<form>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       "ab"
+
+#data
+<form></form><form>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|     <form>
+|       "x"
+
+#data
+<template><form>a</template><form>b
+#document
+| <html>
+|   <head>
+|     <template>
+|       content
+|         <form>
+|           "a"
+|   <body>
+|     <form>
+|       "b"
+
+#data
+<select><option>a<select><option>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|     <option>
+|       "b"
+
+#data
+<head><basefont><bgsound></head><body><wbr><keygen>x
+#document
+| <html>
+|   <head>
+|     <basefont>
+|     <bgsound>
+|   <body>
+|     <wbr>
+|     <keygen>
+|     "x"
+
+#data
+<table><form>x</form></table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <form>
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6206,7 +6302,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT19) + parse_dat(DAT20)
          + parse_dat(DAT21) + parse_dat(DAT22)
          + parse_dat(DAT23) + parse_dat(DAT24)
-         + parse_dat(DAT25))
+         + parse_dat(DAT25) + parse_dat(DAT26))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

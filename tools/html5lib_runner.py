@@ -128,6 +128,7 @@ def selftest() -> int:
         (Path(td) / "goldensN.dat").write_text(G.DAT23.strip("\n") + "\n")
         (Path(td) / "goldensO.dat").write_text(G.DAT24.strip("\n") + "\n")
         (Path(td) / "goldensP.dat").write_text(G.DAT25.strip("\n") + "\n")
+        (Path(td) / "goldensQ.dat").write_text(G.DAT26.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
