@@ -6292,6 +6292,97 @@ DAT26 = r"""
 """
 
 
+# Round-5 family #27: the RCDATA/rawtext/script-data end-tag-open
+# machinery (WHATWG 13.2.5.9-17): an APPROPRIATE end tag closes even
+# with trailing whitespace, attributes, or a self-closing slash
+# before the ">"; a non-matching name (</titlex>, </scriptx>) or a
+# space straight after "</" flushes the buffered "</" + chars back
+# as literal text and stays in the data state; and the match is
+# ASCII case-insensitive on both sides (<TITLE>..</tItLe>).  Every
+# expectation hand-derived from the spec before pinning.
+DAT27 = r"""
+#data
+<title>x</title >y
+#document
+| <html>
+|   <head>
+|     <title>
+|       "x"
+|   <body>
+|     "y"
+
+#data
+<title>x</titlex></title>y
+#document
+| <html>
+|   <head>
+|     <title>
+|       "x</titlex>"
+|   <body>
+|     "y"
+
+#data
+<script>a</script foo=bar>b
+#document
+| <html>
+|   <head>
+|     <script>
+|       "a"
+|   <body>
+|     "b"
+
+#data
+<script>a</script/>b
+#document
+| <html>
+|   <head>
+|     <script>
+|       "a"
+|   <body>
+|     "b"
+
+#data
+<script>a</scriptx>b</script>c
+#document
+| <html>
+|   <head>
+|     <script>
+|       "a</scriptx>b"
+|   <body>
+|     "c"
+
+#data
+<TITLE>x</tItLe>y
+#document
+| <html>
+|   <head>
+|     <title>
+|       "x"
+|   <body>
+|     "y"
+
+#data
+<style>a</ style></style>b
+#document
+| <html>
+|   <head>
+|     <style>
+|       "a</ style>"
+|   <body>
+|     "b"
+
+#data
+<textarea>a</textarea	>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "a"
+|     "b"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6302,7 +6393,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT19) + parse_dat(DAT20)
          + parse_dat(DAT21) + parse_dat(DAT22)
          + parse_dat(DAT23) + parse_dat(DAT24)
-         + parse_dat(DAT25) + parse_dat(DAT26))
+         + parse_dat(DAT25) + parse_dat(DAT26)
+         + parse_dat(DAT27))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
