@@ -6383,6 +6383,78 @@ DAT27 = r"""
 """
 
 
+# Round-5 family #28: PLAINTEXT interaction with fostering and the
+# legacy select ignore (a table-context <plaintext> is foster-parented
+# BEFORE the table and then swallows the rest of the input including
+# </table>; in select the start tag is ignored and the text falls
+# into the select); initial-mode tolerance (leading whitespace and
+# comments do not forfeit the DOCTYPE — no quirks); duplicate
+# attribute dropping happens on the LOWERCASED tokenizer name BEFORE
+# the SVG camelCase adjustment (viewbox/viewBox/VIEWBOX collapse to
+# the first, then adjust to viewBox); and in-body colgroup being in
+# the stray-table-tag ignore list.  Every expectation hand-derived
+# from WHATWG 13.2.5.5/13.2.6.4.1/.4.7/13.2.6.2 before pinning.
+DAT28 = r"""
+#data
+<table><plaintext>x</table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <plaintext>
+|       "x</table>y"
+|     <table>
+
+#data
+ 	
+<!DOCTYPE html><p>x
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<!--c--><!DOCTYPE html><p>x
+#document
+| <!-- c -->
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+
+#data
+<svg viewbox=1 viewBox=2 VIEWBOX=3></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       viewBox="1"
+
+#data
+<select><plaintext>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       "x"
+
+#data
+<colgroup><plaintext>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <plaintext>
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6394,7 +6466,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT21) + parse_dat(DAT22)
          + parse_dat(DAT23) + parse_dat(DAT24)
          + parse_dat(DAT25) + parse_dat(DAT26)
-         + parse_dat(DAT27))
+         + parse_dat(DAT27) + parse_dat(DAT28))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

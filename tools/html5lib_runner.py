@@ -130,6 +130,7 @@ def selftest() -> int:
         (Path(td) / "goldensP.dat").write_text(G.DAT25.strip("\n") + "\n")
         (Path(td) / "goldensQ.dat").write_text(G.DAT26.strip("\n") + "\n")
         (Path(td) / "goldensR.dat").write_text(G.DAT27.strip("\n") + "\n")
+        (Path(td) / "goldensS.dat").write_text(G.DAT28.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
