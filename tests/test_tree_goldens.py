@@ -6455,6 +6455,74 @@ DAT28 = r"""
 """
 
 
+# Round-5 family #29: <svg> is phrasing content (an open <p>
+# survives it); <html> is NOT in the foreign-content breakout list
+# (it nests as <svg html> with its attributes) while <body> and
+# <head> ARE — the body token then merges its attributes onto the
+# EXISTING body element, and the head token is a stray ignored in
+# body; and </body> seen from inside a table row is IGNORED because
+# <table> is a scope boundary (body is not "in scope"), so the
+# following text goes through in-table-text fostering instead of
+# after-body.  Every expectation hand-derived from WHATWG 13.2.6.5
+# (breakout list), 13.2.6.4.7, and the "has an element in scope"
+# algorithm (13.2.4.2) before pinning.
+DAT29 = r"""
+#data
+<p>a<svg>b</svg>c</p>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <svg svg>
+|         "b"
+|       "c"
+|     "d"
+
+#data
+<svg><html x=y>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg html>
+|         x="y"
+|         "z"
+
+#data
+<svg><body x=y>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     x="y"
+|     <svg svg>
+|     "z"
+
+#data
+<table><tr></body>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <tbody>
+|         <tr>
+
+#data
+<svg><head>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|     "x"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6466,7 +6534,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT21) + parse_dat(DAT22)
          + parse_dat(DAT23) + parse_dat(DAT24)
          + parse_dat(DAT25) + parse_dat(DAT26)
-         + parse_dat(DAT27) + parse_dat(DAT28))
+         + parse_dat(DAT27) + parse_dat(DAT28)
+         + parse_dat(DAT29))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
