@@ -1262,6 +1262,12 @@ class _Fast:
                     return None
                 if tag in ("script", "template"):
                     raise _Bail       # head rules inside select
+                if tag == "html":
+                    # in-select forwards <html> to the in-body rules
+                    # (attribute merge onto the existing html element) —
+                    # the fast lane has no merge path, so slow-lane it
+                    # (round-5 fuzz find: <select><html a> dropped a="")
+                    raise _Bail
                 if in_table and tag in self._TABLE_PARTS:
                     if foster_table_nid is not None:
                         self._close_select(sel_idx)

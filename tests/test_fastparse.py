@@ -525,3 +525,17 @@ def test_pre_lookahead_container_closes():
         "<table><tr><td><pre></td><td>x</table>",
     ):
         assert_equal_trees(src)
+
+
+def test_select_html_attr_merge():
+    """in-select forwards an <html> start tag to the in-body rules,
+    which merge its new attributes onto the existing html element —
+    the fast lane must not ignore it with the select's anything-else
+    rule (round-5 extended-generator fuzz find: <select><html a>
+    dropped a="" from the root)."""
+    for src in (
+        "<select><html a>",
+        "<select><option>x<html lang=en>y",
+        "<table><select><html a=b>z",
+    ):
+        assert_equal_trees(src)

@@ -53,6 +53,20 @@ _SNIPPETS = [
     "<!-- c -->", "<script>x<y</script>", "<style>.c{}</style>",
     "<![CDATA[z]]>", "<?pi?>", "<!-->", "</ p>", "&notin;", "&AMP",
     "<textarea>\na</textarea>", "<pre>\nb</pre>",
+    # round-5 DAT17-29 territory: script-data escape permutations,
+    # CDATA bracket edges, appropriate-end-tag forms, weird attribute
+    # names, multi-codepoint named refs, breakout/namespace dispatch
+    "<script><!--<script></script>-->x</script>",
+    "<script><!--<script>--></script>",
+    "<svg><![CDATA[a]]b]]></svg>",
+    "<title>x</titlex></title>",
+    "<script>a</script foo=bar>",
+    "<style>a</ style></style>",
+    "<p =x>", "<p <p>", '<p a"b=c>', "<p a='b'c=d>", "<p/ a=b>",
+    "&NotEqualTilde;&fjlig;&ThickSpace;&ngE;&xyzzy;",
+    "<svg><html a=b>", "<svg><body a=b>", "<math><svg>",
+    "<!----->", "<!-- a -- b -->",
+    "<select><select>", "<table><form>x</form></table>",
 ]
 
 _TAILS = ["", "</body></html>", "</body>", "</html>", "<!-- t -->", "</td>"]
