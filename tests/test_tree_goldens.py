@@ -6523,6 +6523,52 @@ DAT29 = r"""
 """
 
 
+# Round-5 family #30: in-select forwards an <html> start tag to the
+# in-body rules, which MERGE its new attributes onto the existing
+# root element — including from a select fostered out of a table
+# ("in select in table").  Pins the full machine's side of the
+# round-5 fast-lane fuzz find (test_fastparse.py::
+# test_select_html_attr_merge pins the fast lane).  Hand-derived
+# from WHATWG 13.2.6.4.16 + .4.7 before pinning.
+DAT30 = r"""
+#data
+<select><html lang=en><option>x
+#document
+| <html>
+|   lang="en"
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "x"
+
+#data
+<table><select><html a=b>x</select>y</table>z
+#document
+| <html>
+|   a="b"
+|   <head>
+|   <body>
+|     <select>
+|       "x"
+|     "y"
+|     <table>
+|     "z"
+
+#data
+<select><option><html dir=rtl>x</select>y
+#document
+| <html>
+|   dir="rtl"
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "x"
+|     "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6535,7 +6581,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT23) + parse_dat(DAT24)
          + parse_dat(DAT25) + parse_dat(DAT26)
          + parse_dat(DAT27) + parse_dat(DAT28)
-         + parse_dat(DAT29))
+         + parse_dat(DAT29) + parse_dat(DAT30))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

@@ -132,6 +132,7 @@ def selftest() -> int:
         (Path(td) / "goldensR.dat").write_text(G.DAT27.strip("\n") + "\n")
         (Path(td) / "goldensS.dat").write_text(G.DAT28.strip("\n") + "\n")
         (Path(td) / "goldensT.dat").write_text(G.DAT29.strip("\n") + "\n")
+        (Path(td) / "goldensU.dat").write_text(G.DAT30.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
