@@ -344,3 +344,44 @@ def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .selectExpr("doc_id", *top_cols, *dup_cols)
         .selectExpr("*", f"{keep} as keep_rep")
     )
+
+
+def token_logfreq(docs: DataFrame, permille: int = 1000) -> DataFrame:
+    """(doc_id, n_tok, logfreq_permille): CCNet-style language-model
+    quality proxy (Wenzek et al. 2020 score documents by LM perplexity;
+    with no external LM the corpus itself is the model).  Per token,
+    the integer rarity bucket floor(log2(corpus_count)); per document,
+    the mean bucket in permille: (permille * sum) div n_tok.  Gibberish
+    and rare-token soup score low, template/common prose scores high.
+
+    Integer-only cross-engine arithmetic (same rationale as
+    ``distinctive_terms``/pagerank): floor(log2(c)) on bigint counts is
+    stable across libms — the only exact boundaries are powers of two,
+    where IEEE log2 is exact, and elsewhere the margin to the boundary
+    (>= log2(1+1/c) ~ 1/(c ln 2)) dwarfs double rounding error for any
+    count below 2^50; the final division is integer ``div``.
+
+    Plan shape at 100 TB: ONE explode feeds both the vocabulary
+    aggregate (partial-agg groupBy(term) — the corpus vocabulary,
+    Zipf-bounded far below the token stream) and the per-doc sum; the
+    vocab join keys on term (AQE broadcasts it when small).  No
+    Python, no all-pairs, two narrow shuffles (vocab agg + doc agg).
+    """
+    toks = tokens_expr()
+    terms = docs.selectExpr("doc_id", f"explode({toks}) as term")
+    vocab = terms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    scored = (
+        terms.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tok"),
+             F.sum(F.floor(F.log2(F.col("cnt")))).cast("bigint").alias("s"))
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(coalesce(n_tok, 0) as bigint) as n_tok",
+            f"cast(coalesce(({permille} * s) div n_tok, 0) as bigint) "
+            "as logfreq_permille")
+    )

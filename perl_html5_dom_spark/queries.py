@@ -1187,6 +1187,15 @@ def q_ngram_repetition(spark, sf_dir):
     return ts.ngram_repetition(_docs(spark, sf_dir))
 
 
+def q_token_logfreq(spark, sf_dir):
+    """CCNet-style corpus-LM quality proxy (Wenzek et al. 2020 rank by
+    LM perplexity; the corpus itself is the unigram model here): per
+    token floor(log2(corpus_count)), per document the integer permille
+    mean.  Spark side is one explode feeding a vocabulary partial-agg
+    and a per-doc sum; the DuckDB twin re-derives both relationally."""
+    return ts.token_logfreq(_docs(spark, sf_dir))
+
+
 # Ordered catalog: the driver's correctness gate certifies the FIRST
 # 50 entries, so that window is curated to sample every operator
 # family (VERDICT r3 finding #1).  ROTATED for round 5 (VERDICT r4
@@ -1296,6 +1305,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "sitemap_urls": q_sitemap_urls,
     "tag_histogram": q_tag_histogram,
+    "token_logfreq": q_token_logfreq,
     "url_dedup": q_url_dedup,
     "warc_extract": q_warc_extract,
 }
@@ -1754,6 +1764,17 @@ ORACLES: dict[str, str] = {
         " nfc_normalize(text || '  caf' || 'e' || chr(769) || chr(9) || ' ' "
         "  || 'A' || chr(776) || ' x ')), '\\s+', ' ', 'g') as text_norm "
         "from documents",
+    # CCNet-style corpus-frequency quality proxy (integer permille)
+    "token_logfreq":
+        "with t as (select doc_id, unnest(string_split(text, ' ')) as term "
+        " from documents), "
+        "v as (select term, count(*) as cnt from t group by 1), "
+        "s as (select t.doc_id, count(*) as n_tok, "
+        " sum(cast(floor(log2(cnt)) as bigint)) as s "
+        " from t join v using (term) group by 1) "
+        "select d.doc_id, cast(coalesce(n_tok, 0) as bigint) as n_tok, "
+        "cast(coalesce((1000 * s) // n_tok, 0) as bigint) "
+        "as logfreq_permille from documents d left join s using (doc_id)",
 }
 
 # lang_id oracle from the same marker table

@@ -398,3 +398,21 @@ def test_ngram_repetition_flags_loops(spark, docs):
     assert agg.mx <= 1.0              # dup fractions capped
     n_keep = out.where("doc_id < 1000000 and keep_rep").count()
     assert n_keep > 0                 # prose survives
+
+
+def test_token_logfreq_hand_computed(spark):
+    """CCNet-style corpus-frequency proxy on a fixed corpus, checked
+    against hand arithmetic.  Corpus: 'a a a a b b c' across docs ->
+    counts a=4, b=2, c=1; buckets floor(log2)=2,1,0."""
+    from perl_html5_dom_spark.operators.textstats import token_logfreq
+
+    rows = {r["doc_id"]: r for r in token_logfreq(spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c"), (3, "")],
+        "doc_id long, text string")).collect()}
+    # doc 1: buckets 2+2+1=5 over 3 tokens -> 5000 div 3 = 1666
+    assert (rows[1]["n_tok"], rows[1]["logfreq_permille"]) == (3, 1666)
+    # doc 2: 2+2+1+0=5 over 4 -> 1250
+    assert (rows[2]["n_tok"], rows[2]["logfreq_permille"]) == (4, 1250)
+    # doc 3: split('', ' ') -> [''] one empty token; '' occurs once in
+    # the corpus -> bucket 0 -> score 0
+    assert (rows[3]["n_tok"], rows[3]["logfreq_permille"]) == (1, 0)
