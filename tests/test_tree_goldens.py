@@ -6569,6 +6569,82 @@ DAT30 = r"""
 """
 
 
+# Round-5 family #31: a second <nobr> triggering the agency for the
+# open one (siblings, no furthest block); the in-body
+# any-other-end-tag loop requires "an HTML element with the same tag
+# name" — an open HTML <b> inside <svg desc>/<svg foreignObject>
+# means </desc>/</foreignObject>/</svg> all hit the foreign SPECIAL
+# element first and are IGNORED, text accumulating in the <b>;
+# formatting kept open across a table (no reconstruction needed,
+# text re-enters the still-open <b>); and the adoption02 <i><p>
+# classic (furthest-block p moves to the common ancestor, the clone
+# holds the text, trailing text lands in p, the next <i>
+# reconstructs).  Every expectation hand-derived from WHATWG
+# 13.2.6.4.7 (any other end tag; nobr) / 13.2.6.7 before pinning.
+DAT31 = r"""
+#data
+<nobr>a<nobr>b</nobr>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <nobr>
+|       "a"
+|     <nobr>
+|       "b"
+|     "c"
+
+#data
+<svg><desc>x<b>y</desc>z</svg>w
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg desc>
+|         "x"
+|         <b>
+|           "yzw"
+
+#data
+<b>x<table></table>y</b>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "x"
+|       <table>
+|       "y"
+|     "z"
+
+#data
+<i><p>a</i>b<i>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <i>
+|     <p>
+|       <i>
+|         "a"
+|       "b"
+|       <i>
+|         "c"
+
+#data
+<svg><foreignObject><b>x</foreignObject>y</svg>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg foreignObject>
+|         <b>
+|           "xyz"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6581,7 +6657,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT23) + parse_dat(DAT24)
          + parse_dat(DAT25) + parse_dat(DAT26)
          + parse_dat(DAT27) + parse_dat(DAT28)
-         + parse_dat(DAT29) + parse_dat(DAT30))
+         + parse_dat(DAT29) + parse_dat(DAT30)
+         + parse_dat(DAT31))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

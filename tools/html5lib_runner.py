@@ -133,6 +133,7 @@ def selftest() -> int:
         (Path(td) / "goldensS.dat").write_text(G.DAT28.strip("\n") + "\n")
         (Path(td) / "goldensT.dat").write_text(G.DAT29.strip("\n") + "\n")
         (Path(td) / "goldensU.dat").write_text(G.DAT30.strip("\n") + "\n")
+        (Path(td) / "goldensV.dat").write_text(G.DAT31.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
