@@ -179,6 +179,17 @@ def main() -> None:
          "Exchanges carry one row per doc and one per candidate pair "
          "(sf1: 14.7 s → 8.85 s, BENCH/SF1.md round-5 addendum).")
 
+    from perl_html5_dom_spark.operators import textstats
+    grab("token_logfreq: one explode feeds vocab agg + per-doc sum",
+         textstats.token_logfreq(docs.selectExpr("doc_id", "text")),
+         "CCNet-style corpus-frequency proxy (round 5).  The exploded "
+         "token stream must appear TWICE off one scan subtree: a "
+         "partial-agg groupBy(term) building the Zipf-bounded "
+         "vocabulary and the per-doc aggregate; the vocab join keys on "
+         "term (AQE broadcasts it when small), floor(log2(cnt)) and "
+         "the integer div stay inside WholeStageCodegen, and no "
+         "Python appears anywhere in the plan.")
+
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),
