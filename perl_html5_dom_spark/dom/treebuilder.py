@@ -46,7 +46,7 @@ MARKER = ("MARKER",)
 _BLOCK_START = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer header hgroup main menu nav ol p
-    section summary ul""".split()
+    search section summary ul""".split()
 )
 _CLOSE_P_BLOCKS = _BLOCK_START  # same list for the end-tag variant
 

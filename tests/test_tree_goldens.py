@@ -6644,6 +6644,144 @@ DAT31 = r"""
 |           "xyz"
 """
 
+# Modern-element and numeric-reference edge matrix (search-element.dat /
+# menuitem-element.dat / domjs-unsafe.dat territory).  The <search>
+# element (WHATWG addition 2023) is in BOTH the in-body p-closing block
+# start-tag list and the matching end-tag list — authoring this family
+# found and fixed a round-5 engine gap where `search` sat in the
+# "special" category but not in _BLOCK_START, so `<p>a<search>` nested
+# the search inside the p instead of closing it.  <slot> is an ordinary
+# element (no special rule); <image> is the spec's rename-to-img parse
+# error; the &#x8X; cases pin the C1-control remap table (§13.2.5.80
+# numeric-reference-end state) and the surrogate / out-of-range /
+# noncharacter matrix.
+DAT32 = r"""
+#data
+<p>a<search>b</search>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <search>
+|       "b"
+|     "c"
+
+#data
+<search><p>a</search>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <search>
+|       <p>
+|         "a"
+|     "b"
+
+#data
+<button><p>a</search>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       <p>
+|         "ab"
+
+#data
+<table><search>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <search>
+|       "x"
+|     <table>
+
+#data
+<li>a<search>b<li>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <li>
+|       "a"
+|       <search>
+|         "b"
+|         <li>
+|           "c"
+
+#data
+</search>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+<p>a<dialog>b</dialog>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <dialog>
+|       "b"
+|     "c"
+
+#data
+<p>a<slot name=s>b</slot>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <slot>
+|         name="s"
+|         "b"
+|       "c"
+
+#data
+<p>x<image src=a>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|       <img>
+|         src="a"
+|       "y"
+
+#data
+&#x80;&#x82;&#x8A;&#x99;&#x9F;
+#document
+| <html>
+|   <head>
+|   <body>
+|     "€‚Š™Ÿ"
+
+#data
+&#xD800;x&#xDFFF;
+#document
+| <html>
+|   <head>
+|   <body>
+|     "�x�"
+
+#data
+a&#x10FFFF;b&#x110000;c
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a􏿿b�c"
+"""
+
 
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
@@ -6658,7 +6796,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT25) + parse_dat(DAT26)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
-         + parse_dat(DAT31))
+         + parse_dat(DAT31) + parse_dat(DAT32))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

@@ -134,6 +134,7 @@ def selftest() -> int:
         (Path(td) / "goldensT.dat").write_text(G.DAT29.strip("\n") + "\n")
         (Path(td) / "goldensU.dat").write_text(G.DAT30.strip("\n") + "\n")
         (Path(td) / "goldensV.dat").write_text(G.DAT31.strip("\n") + "\n")
+        (Path(td) / "goldensW.dat").write_text(G.DAT32.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
