@@ -334,6 +334,50 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "struct(pos, line))), s -> s.line), '\n') as text_dedup")))
 
 
+def host_boilerplate(docs: DataFrame, min_docs: int = 3,
+                     url_col: str = "url",
+                     text_col: str = "text") -> DataFrame:
+    """Site-template line removal (the CCNet/Dolma per-host pass, a
+    finer rule than :func:`line_dedup`'s global-first-occurrence C4
+    rule): a line is *host boilerplate* when the identical line occurs
+    on at least ``min_docs`` DISTINCT pages of the same host — nav
+    bars, cookie banners, footers — and is then dropped from EVERY
+    page of that host (no first-occurrence survivor: template text is
+    noise wherever it appears).  Lines repeated across hosts but rare
+    within each host are kept, which is what distinguishes this from
+    the global rule.
+
+    Scale shape: posexplode → one partial-aggregable
+    ``countDistinct(doc_id)`` groupBy on (host, line); the surviving
+    boilerplate set is tiny relative to the corpus (templates per
+    host, not pages), so the flag join back is AQE-broadcastable per
+    host; then one ordered-reassembly groupBy on doc_id.  Hosts are
+    the unit of skew — megadomains ride the same salted-repartition
+    policy as every other per-host stage (plans/pipeline.py).
+
+    Returns (doc_id, text_clean, n_lines, n_removed); documents whose
+    every line is template text survive with ``text_clean = ''``.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.expr(f"parse_url({url_col}, 'HOST')").alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    boiler = (lines.groupBy("host", "line")
+              .agg(F.countDistinct("doc_id").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs)
+              .select("host", "line", F.lit(True).alias("is_b")))
+    flagged = (lines.join(boiler, ["host", "line"], "left")
+               .select("doc_id", "pos", "line",
+                       F.coalesce("is_b", F.lit(False)).alias("is_b")))
+    return (flagged.groupBy("doc_id").agg(
+        F.expr("array_join(transform(filter(array_sort(collect_list("
+               "struct(pos, line, is_b))), s -> not s.is_b), "
+               "s -> s.line), '\n')").alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("is_b").cast("bigint")).cast("bigint")
+         .alias("n_removed")))
+
+
 def duplicated_ngrams(docs: DataFrame, k: int = 8,
                       text_col: str = "text") -> DataFrame:
     """Per-document corpus-duplication signal in the style of exact

@@ -807,6 +807,26 @@ def q_line_dedup(spark, sf_dir):
     return dd.line_dedup(corpus)
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host site-template line removal (dedup.host_boilerplate):
+    every doc on host h = doc_id % 5 carries the same 'nav host h'
+    line (removed: >= 3 distinct docs per host) plus a 'pair K' line
+    shared by exactly TWO docs of the host (kept: below min_docs) and
+    its own body text.  The oracle recomputes the rule in DuckDB with
+    split_part host extraction and a having-count(distinct) template
+    set — independent of Spark's parse_url and collect_list fold."""
+    corpus = ut.sql_over(
+        lambda d: "select doc_id, "
+                  "'https://h' || cast(doc_id % 5 as string) || "
+                  "'.example.org/p/' || cast(doc_id as string) as url, "
+                  "'nav host ' || cast(doc_id % 5 as string) || char(10) "
+                  "|| text || char(10) || 'pair ' || "
+                  "cast(doc_id % 5 + doc_id - doc_id % 10 as string) "
+                  f"as text from {d}",
+        _docs(spark, sf_dir))
+    return dd.host_boilerplate(corpus, min_docs=3)
+
+
 def q_host_stats(spark, sf_dir):
     """Per-domain crawl stats (urlnorm.host_stats) over a corpus whose
     host varies by doc_id % 7 and which revisits each path twice; the
@@ -1282,6 +1302,7 @@ QUERIES = {
     "first_link_begin": q_first_link_begin,
     "frequent_paths": q_frequent_paths,
     "gopher_quality": q_gopher_quality,
+    "host_boilerplate": q_host_boilerplate,
     "hostile2_node_counts": q_hostile2_node_counts,
     "hostile2_text_content": q_hostile2_text_content,
     "hostile_inner_text": q_hostile_inner_text,
@@ -1796,6 +1817,35 @@ ORACLES["lang_id"] = (
     + ", ".join(f"{e} as h_{l}" for l, e in _hit_exprs.items())
     + " from documents) "
     f"select doc_id, {_pick} as lang_pred, cast({_best} as bigint) as lang_hits from h"
+)
+
+# host-boilerplate: DuckDB recomputation of the per-host template rule
+# (split_part host, unnest-with-ordinality lines, having-count(distinct)
+# template set) — shares no code path with dedup.host_boilerplate
+ORACLES["host_boilerplate"] = (
+    "with corpus as (select doc_id, "
+    " 'https://h' || cast(doc_id % 5 as varchar) || '.example.org/p/' || "
+    "  cast(doc_id as varchar) as url, "
+    " 'nav host ' || cast(doc_id % 5 as varchar) || chr(10) || text || "
+    "  chr(10) || 'pair ' || "
+    "  cast(doc_id % 5 + doc_id - doc_id % 10 as varchar) as text "
+    " from documents), "
+    "lines as (select doc_id, "
+    "  split_part(split_part(url, '//', 2), '/', 1) as host, "
+    "  i - 1 as pos, l[i] as line from "
+    "  (select doc_id, url, string_split(text, chr(10)) as l from corpus), "
+    "  unnest(generate_series(1, len(l))) as t(i)), "
+    "boiler as (select host, line, true as is_b from lines "
+    " group by 1, 2 having count(distinct doc_id) >= 3), "
+    "flagged as (select doc_id, pos, line, coalesce(is_b, false) as is_b "
+    " from lines left join boiler using (host, line)) "
+    "select doc_id, "
+    " coalesce(string_agg(line, chr(10) order by pos) "
+    "  filter (where not is_b), '') as text_clean, "
+    " cast(count(*) as bigint) as n_lines, "
+    " cast(coalesce(sum(case when is_b then 1 else 0 end), 0) as bigint) "
+    "  as n_removed "
+    "from flagged group by doc_id"
 )
 
 _stop_en = _hit_exprs["en"]

@@ -200,6 +200,29 @@ def test_line_dedup_first_occurrence(spark):
     assert out2 == {1: "x\ny"}
 
 
+def test_host_boilerplate_per_host_rule(spark):
+    from perl_html5_dom_spark.operators.dedup import host_boilerplate
+
+    rows = [
+        # host a: 'nav' on 3 distinct docs -> template, dropped everywhere
+        (1, "https://a.example/p1", "nav\nalpha"),
+        (2, "https://a.example/p2", "nav\nbeta\nrare"),
+        (3, "https://a.example/p3", "nav\nrare"),   # 'rare' on only 2 docs
+        (4, "https://a.example/p4", "nav"),          # all-template doc
+        # host b: same 'nav' text but only 1 doc there -> kept (per-host!)
+        (5, "https://b.example/p1", "nav\ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.doc_id: r for r in host_boilerplate(df, min_docs=3).collect()}
+    assert len(out) == 5                      # all docs survive, even empty
+    assert out[1].text_clean == "alpha"
+    assert out[2].text_clean == "beta\nrare"  # below min_docs -> kept
+    assert out[3].text_clean == "rare"
+    assert out[4].text_clean == "" and out[4].n_removed == 1
+    assert out[5].text_clean == "nav\ndelta"  # host b never hit min_docs
+    assert (out[2].n_lines, out[2].n_removed) == (3, 1)
+
+
 def test_sitemap_xml_through_html_kernel(spark):
     """Sitemap XML parses browser-style: unknown elements nest as
     written, the <?xml?> PI becomes a bogus comment, and css_extract

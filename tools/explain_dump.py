@@ -190,6 +190,25 @@ def main() -> None:
          "the integer div stay inside WholeStageCodegen, and no "
          "Python appears anywhere in the plan.")
 
+    from perl_html5_dom_spark.operators import dedup as dd_mod
+    grab("host_boilerplate: per-host template-line strip",
+         dd_mod.host_boilerplate(
+             docs.selectExpr(
+                 "doc_id",
+                 "'https://h' || cast(doc_id % 5 as string) || "
+                 "'.example.org/p/' || cast(doc_id as string) as url",
+                 "text")),
+         "Site-template removal (round 5).  The exploded line stream "
+         "must feed a partial-aggregable countDistinct groupBy on "
+         "(host, line) — HashAggregate with partial_count(distinct) "
+         "below the Exchange, not a window — and the template-set "
+         "flag join back must be a plain equi-join on (host, line) "
+         "that AQE can broadcast (the boilerplate set is templates "
+         "per host, orders of magnitude smaller than the corpus); "
+         "the ordered reassembly is ONE groupBy(doc_id) whose "
+         "array_sort/filter/transform fold runs inside codegen, and "
+         "no Python appears anywhere in the plan.")
+
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),

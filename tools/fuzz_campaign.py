@@ -31,7 +31,8 @@ _TAGS = (
     "tr th tbody thead tfoot caption colgroup "
     "svg math mi mtext annotation-xml foreignObject desc circle g "
     "plaintext xmp listing noscript noframes frameset frame ruby rb rt rp "
-    "h3 h4 h5 h6 summary details figure figcaption iframe"
+    "h3 h4 h5 h6 summary details figure figcaption iframe "
+    "search dialog slot main image"
 ).split()
 
 _HEADS = [
