@@ -1251,6 +1251,17 @@ class _Fast:
                         tags.pop()
                     self._push(token)
                     continue
+                if tag == "hr":
+                    # current spec (hr-in-select, 2023): pop an open
+                    # option/optgroup, insert the hr as a void child
+                    if tags[-1] == "option":
+                        self.stack.pop()
+                        tags.pop()
+                    if tags[-1] == "optgroup":
+                        self.stack.pop()
+                        tags.pop()
+                    self._append(self._el(token))
+                    continue
                 if tag == "select":   # parse error: acts as </select>
                     self._close_select(sel_idx)
                     return None

@@ -1753,6 +1753,16 @@ class TreeBuilder:
                     self.stack.pop()
                 self._insert_element(token)
                 return
+            if tag == "hr":
+                # current spec (hr-in-select, 2023): pop an open
+                # option/optgroup, insert the hr, pop it (void)
+                if self._current_tag() == "option":
+                    self.stack.pop()
+                if self._current_tag() == "optgroup":
+                    self.stack.pop()
+                self._insert_element(token)
+                self.stack.pop()
+                return
             if tag == "select":
                 if self._in_select_scope("select"):
                     self._pop_until("select")

@@ -1126,6 +1126,7 @@ code</listing>
 |     <select>
 |       <option>
 |         "a"
+|       <hr>
 |       <option>
 |         "b"
 
@@ -6780,6 +6781,58 @@ a&#x10FFFF;b&#x110000;c
 |   <head>
 |   <body>
 |     "a􏿿b�c"
+
+#data
+<select><hr><option>a
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <hr>
+|       <option>
+|         "a"
+
+#data
+<select><option>a<hr><option>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "a"
+|       <hr>
+|       <option>
+|         "b"
+
+#data
+<select><optgroup><option>x<hr>y</select>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <optgroup>
+|         <option>
+|           "x"
+|       <hr>
+|       "y"
+|     "z"
+
+#data
+<table><td><select><hr>a
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <select>
+|               <hr>
+|               "a"
 """
 
 
