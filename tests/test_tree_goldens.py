@@ -6836,6 +6836,146 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# inbody01 / after-body / head-noise territory: the body↔html boundary
+# (text and comments after </body> and </html>, head re-entry for
+# metadata after </head>), the form-pointer and hidden-input table
+# exemptions, xmp's reconstruct-then-rawtext, caption's anything-else
+# fallthrough for a nested <table>, implied colgroup with attributes,
+# and the after-frameset comment/noframes tail.
+DAT33 = r"""
+#data
+<body>a</body>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     "ab"
+
+#data
+<body></body><!--x--><p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "y"
+|   <!-- x -->
+
+#data
+</html>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+
+#data
+<head></head>x<link rel=a>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <link>
+|       rel="a"
+
+#data
+<head></head><base href=u><body>z
+#document
+| <html>
+|   <head>
+|     <base>
+|       href="u"
+|   <body>
+|     "z"
+
+#data
+<title>a<b>c</title>d
+#document
+| <html>
+|   <head>
+|     <title>
+|       "a<b>c"
+|   <body>
+|     "d"
+
+#data
+<table><form><input type=hidden><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <form>
+|       <input>
+|         type="hidden"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<b>a<xmp>b</xmp>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       "a"
+|       <xmp>
+|         "b"
+|       "c"
+
+#data
+<svg><title>a<b>c</title></svg>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg title>
+|         "a"
+|         <b>
+|           "cd"
+
+#data
+<table><col width=1><tr><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <colgroup>
+|         <col>
+|           width="1"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<table><caption>a<table>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "ab"
+|         <table>
+
+#data
+<frameset></frameset><!--c--><noframes>x
+#document
+| <html>
+|   <head>
+|   <frameset>
+|   <!-- c -->
+|   <noframes>
+|     "x"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -6849,7 +6989,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT25) + parse_dat(DAT26)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
-         + parse_dat(DAT31) + parse_dat(DAT32))
+         + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
