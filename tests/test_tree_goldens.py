@@ -6836,6 +6836,155 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# MathML-integration-point tables, in-template table modes (a tr in
+# template content gets NO implied tbody — the in-template dispatch
+# pushes "in table body" directly), fostered-formatting AFE carry
+# across a whole table, the quirks-vs-standards p/table contrast
+# (quirks mode does NOT close p before table), and li/dt/dd runs.
+DAT34 = r"""
+#data
+<math><mtext><table><tr><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mtext>
+|         <table>
+|           <tbody>
+|             <tr>
+|               <td>
+|                 "x"
+
+#data
+<math><mo>a<table>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mo>
+|         "ab"
+|         <table>
+
+#data
+<table><template><tr><td>a</template><tr><td>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <template>
+|         content
+|           <tr>
+|             <td>
+|               "a"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "b"
+
+#data
+<table><b><tr><td>x</td></tr></table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+|     <b>
+|       "y"
+
+#data
+<table><tr><td><button>a<td>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <button>
+|               "a"
+|           <td>
+|             "b"
+
+#data
+<object><param name=a><p>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <object>
+|       <param>
+|         name="a"
+|       <p>
+|         "x"
+
+#data
+<p>x<table><tr><td>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|       <table>
+|         <tbody>
+|           <tr>
+|             <td>
+|               "y"
+
+#data
+<!DOCTYPE html><p>x<table><tr><td>y
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "y"
+
+#data
+<ul><li>a<ul><li>b</ul>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         "a"
+|         <ul>
+|           <li>
+|             "b"
+|         "c"
+
+#data
+<dl><dt>a<dd>b<dt>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <dl>
+|       <dt>
+|         "a"
+|       <dd>
+|         "b"
+|       <dt>
+|         "c"
+"""
+
+
 # inbody01 / after-body / head-noise territory: the body↔html boundary
 # (text and comments after </body> and </html>, head re-entry for
 # metadata after </head>), the form-pointer and hidden-input table
@@ -6989,7 +7138,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT25) + parse_dat(DAT26)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
-         + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33))
+         + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
+         + parse_dat(DAT34))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
