@@ -6836,6 +6836,101 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# frameset-ok nuances (an EXPLICIT <body> tag sets frameset-ok to
+# "not ok" so a later <frameset> is ignored and the second <body>
+# merges attributes; a mere <p> does NOT, so <frameset> replaces the
+# implied body), the mglyph/malignmark integration-point exception
+# (they stay MathML where any other start tag breaks out to HTML),
+# </br>-acts-as-<br> and </p>-inserts-empty-p error recovery, the
+# cell AFE marker keeping a nested <a> from triggering AAA across a
+# table, and the in-head-noscript scripting matrix.
+DAT35 = r"""
+#data
+<math><mi><mglyph>x<b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mi>
+|         <math mglyph>
+|           "x"
+|         <b>
+|           "y"
+
+#data
+a</br>b</p>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a"
+|     <br>
+|     "b"
+|     <p>
+|     "c"
+
+#data
+<a href=1><table><td><a href=2>x</table>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="1"
+|       <table>
+|         <tbody>
+|           <tr>
+|             <td>
+|               <a>
+|                 href="2"
+|                 "x"
+|       "y"
+
+#data
+<body a=1><frameset>x</frameset><body b=2 a=3>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     a="1"
+|     b="2"
+|     "xz"
+
+#data
+<p><frameset><frame src=a>
+#document
+| <html>
+|   <head>
+|   <frameset>
+|     <frame>
+|       src="a"
+
+#data
+<head><noscript><style>x</style><div>y
+#script-off
+#document
+| <html>
+|   <head>
+|     <noscript>
+|       <style>
+|         "x"
+|   <body>
+|     <div>
+|       "y"
+
+#data
+<head><noscript><style>x</style><div>y
+#script-on
+#document
+| <html>
+|   <head>
+|     <noscript>
+|       "<style>x</style><div>y"
+|   <body>
+"""
+
+
 # MathML-integration-point tables, in-template table modes (a tr in
 # template content gets NO implied tbody — the in-template dispatch
 # pushes "in table body" directly), fostered-formatting AFE carry
@@ -7139,7 +7234,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
-         + parse_dat(DAT34))
+         + parse_dat(DAT34) + parse_dat(DAT35))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

@@ -137,6 +137,7 @@ def selftest() -> int:
         (Path(td) / "goldensW.dat").write_text(G.DAT32.strip("\n") + "\n")
         (Path(td) / "goldensX.dat").write_text(G.DAT33.strip("\n") + "\n")
         (Path(td) / "goldensY.dat").write_text(G.DAT34.strip("\n") + "\n")
+        (Path(td) / "goldensZ.dat").write_text(G.DAT35.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
