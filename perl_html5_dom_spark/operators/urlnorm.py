@@ -115,6 +115,42 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_pattern_traps(df: DataFrame, min_urls: int = 100,
+                      url_col: str = "url") -> DataFrame:
+    """Crawl-trap pattern mining: generalize every URL by collapsing
+    digit runs in its path+query to ``N`` (``/2024/01/31?page=7`` →
+    ``/N/N/N?page=N``) and surface the (host, pattern) groups with at
+    least ``min_urls`` members — calendars, pagination wheels, session
+    ids and faceted-search explosions that flood a frontier with
+    near-identical URLs.  A politeness policy caps or blocks the hot
+    patterns (the standard Heritrix/Common-Crawl frontier rule).
+
+    Scale shape: the generalization is one JVM ``regexp_replace``
+    projection; the groupBy on (host, pattern) is partial-aggregable
+    (hot patterns collapse map-side — the whole point is that these
+    groups are huge) and carries ``min(url)`` as a deterministic
+    exemplar.  One shuffle of (host, pattern) rows, no Python.
+
+    Returns (host, pattern, n_urls, example_url), filtered to
+    ``n_urls >= min_urls``.
+    """
+    return (
+        df.select(
+            F.expr(f"parse_url({url_col}, 'HOST')").alias("host"),
+            F.expr(
+                "regexp_replace(concat("
+                f"coalesce(parse_url({url_col}, 'PATH'), ''), "
+                f"case when parse_url({url_col}, 'QUERY') is not null "
+                f"then '?' || parse_url({url_col}, 'QUERY') else '' end"
+                "), '[0-9]+', 'N')").alias("pattern"),
+            F.col(url_col).alias("u"))
+        .groupBy("host", "pattern")
+        .agg(F.count("*").cast("bigint").alias("n_urls"),
+             F.min("u").alias("example_url"))
+        .where(F.col("n_urls") >= min_urls)
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic messy-url relation for the correctness oracle: each doc
 # yields 4 spellings (v = variant id); the expected canonical form is

@@ -827,6 +827,32 @@ def q_host_boilerplate(spark, sf_dir):
     return dd.host_boilerplate(corpus, min_docs=3)
 
 
+def q_url_pattern_traps(spark, sf_dir):
+    """Crawl-trap pattern mining (urlnorm.url_pattern_traps): hosts
+    t0-t2 each emit a hot '/cal/N/N' calendar pattern, t0 adds a
+    '/list?page=N' pagination wheel, and every doc also emits a cold
+    letters-only '/a/<slug>' page (digits translated to letters, so
+    each is its own pattern and falls under min_urls).  The oracle
+    re-derives host and pattern with split_part/substr string ops —
+    independent of Spark's parse_url."""
+    urls = ut.sql_over(
+        lambda d: "select 'https://t' || cast(doc_id % 3 as string) || "
+                  "'.example.org/cal/' || cast(doc_id as string) || '/' "
+                  "|| cast(doc_id % 12 as string) as url "
+                  f"from {d} "
+                  "union all "
+                  "select 'https://t' || cast(doc_id % 3 as string) || "
+                  "'.example.org/a/' || translate(cast(doc_id as string), "
+                  "'0123456789', 'abcdefghij') as url "
+                  f"from {d} "
+                  "union all "
+                  "select 'https://t0.example.org/list?page=' || "
+                  "cast(doc_id as string) as url "
+                  f"from {d} where doc_id % 4 = 0",
+        _docs(spark, sf_dir))
+    return un.url_pattern_traps(urls, min_urls=100)
+
+
 def q_host_stats(spark, sf_dir):
     """Per-domain crawl stats (urlnorm.host_stats) over a corpus whose
     host varies by doc_id % 7 and which revisits each path twice; the
@@ -1328,6 +1354,7 @@ QUERIES = {
     "tag_histogram": q_tag_histogram,
     "token_logfreq": q_token_logfreq,
     "url_dedup": q_url_dedup,
+    "url_pattern_traps": q_url_pattern_traps,
     "warc_extract": q_warc_extract,
 }
 
@@ -1846,6 +1873,29 @@ ORACLES["host_boilerplate"] = (
     " cast(coalesce(sum(case when is_b then 1 else 0 end), 0) as bigint) "
     "  as n_removed "
     "from flagged group by doc_id"
+)
+
+# crawl-trap mining: DuckDB re-derives host/pattern with split_part +
+# substr string ops, no parse_url anywhere
+ORACLES["url_pattern_traps"] = (
+    "with urls as ("
+    " select 'https://t' || cast(doc_id % 3 as varchar) || "
+    "  '.example.org/cal/' || cast(doc_id as varchar) || '/' || "
+    "  cast(doc_id % 12 as varchar) as url from documents "
+    " union all "
+    " select 'https://t' || cast(doc_id % 3 as varchar) || "
+    "  '.example.org/a/' || translate(cast(doc_id as varchar), "
+    "  '0123456789', 'abcdefghij') as url from documents "
+    " union all "
+    " select 'https://t0.example.org/list?page=' || "
+    "  cast(doc_id as varchar) as url from documents where doc_id % 4 = 0), "
+    "g as (select split_part(split_part(url, '//', 2), '/', 1) as host, "
+    " regexp_replace(substr(split_part(url, '//', 2), "
+    "  strpos(split_part(url, '//', 2), '/')), '[0-9]+', 'N', 'g') "
+    "  as pattern, url from urls) "
+    "select host, pattern, cast(count(*) as bigint) as n_urls, "
+    " min(url) as example_url "
+    "from g group by 1, 2 having count(*) >= 100"
 )
 
 _stop_en = _hit_exprs["en"]

@@ -51,3 +51,19 @@ def test_latest_snapshot_keeps_newest_and_breaks_ties(spark):
     out = {r.url: r for r in latest_snapshot(df).collect()}
     assert out["u1"].version == 2
     assert out["u2"].version == 5          # deterministic tie-break
+
+
+def test_url_pattern_traps_digit_generalization(spark):
+    from perl_html5_dom_spark.operators.urlnorm import url_pattern_traps
+
+    rows = ([(f"https://a.org/cal/2024/{i}",) for i in range(5)]
+            + [(f"https://a.org/list?page={i}",) for i in range(3)]
+            + [("https://a.org/about",)]          # unique, below threshold
+            + [(f"https://b.org/cal/2024/{i}",) for i in range(2)])
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r.host, r.pattern): r
+           for r in url_pattern_traps(df, min_urls=3).collect()}
+    assert set(out) == {("a.org", "/cal/N/N"), ("a.org", "/list?page=N")}
+    cal = out[("a.org", "/cal/N/N")]
+    assert cal.n_urls == 5 and cal.example_url == "https://a.org/cal/2024/0"
+    # host b's identical pattern stayed under min_urls -> not a trap there

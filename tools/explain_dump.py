@@ -209,6 +209,22 @@ def main() -> None:
          "array_sort/filter/transform fold runs inside codegen, and "
          "no Python appears anywhere in the plan.")
 
+    from perl_html5_dom_spark.operators import urlnorm as un_mod
+    grab("url_pattern_traps: crawl-trap pattern mining",
+         un_mod.url_pattern_traps(
+             docs.selectExpr(
+                 "'https://t' || cast(doc_id % 3 as string) || "
+                 "'.example.org/cal/' || cast(doc_id as string) as url"),
+             min_urls=10),
+         "Frontier trap detection (round 5).  The digit-run "
+         "generalization must be a single JVM regexp_replace "
+         "projection feeding ONE partial-aggregable groupBy on "
+         "(host, pattern) — the hot trap groups collapse map-side, "
+         "which is the whole point — with the HAVING filter applied "
+         "after the final aggregate and min(url) riding the same "
+         "aggregate as the deterministic exemplar; no Python, one "
+         "Exchange in the whole plan.")
+
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),
