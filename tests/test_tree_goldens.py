@@ -6836,6 +6836,118 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# Foreign-dispatch corner cases (an <svg> start tag inside a plain
+# MathML annotation-xml opens a REAL SVG subtree — the dispatcher
+# exception that needs no encoding attribute; an <svg> inside an SVG
+# integration point (desc) likewise re-enters via the HTML rules;
+# svg-namespaced <mtext> carries no MathML semantics), the
+# case-insensitive type=hidden table exemption next to a fostered
+# non-hidden input, the pre/listing leading-newline rule, the named-ref
+# legacy attribute exception (&ampc stays literal, &amp; expands),
+# after-after-body comments landing on the Document, stray
+# tbody/tr/td ignored in body, and button/option implicit closes.
+DAT36 = r"""
+#data
+<math><annotation-xml><svg><circle r=1>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math annotation-xml>
+|         <svg svg>
+|           <svg circle>
+|             r="1"
+|             "x"
+
+#data
+<svg><mtext>a</mtext></svg>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg mtext>
+|         "a"
+
+#data
+<table><input type=HIDDEN><input type=text>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <input>
+|       type="text"
+|     "y"
+|     <table>
+|       <input>
+|         type="HIDDEN"
+
+#data
+<a href=a&amp;b&ampc>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       href="a&b&ampc"
+|       "z"
+
+#data
+<svg><desc><svg><rect/>a
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg desc>
+|         <svg svg>
+|           <svg rect>
+|           "a"
+
+#data
+<body></body></html><!--c-->x
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+| <!-- c -->
+
+#data
+x<tbody><tr><td>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+
+#data
+<button>a<button>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "a"
+|     <button>
+|       "b"
+
+#data
+<option>a<option>b<optgroup>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <option>
+|       "a"
+|     <option>
+|       "b"
+|     <optgroup>
+|       "c"
+"""
+
+
 # frameset-ok nuances (an EXPLICIT <body> tag sets frameset-ok to
 # "not ok" so a later <frameset> is ignored and the second <body>
 # merges attributes; a mere <p> does NOT, so <frameset> replaces the
@@ -7234,7 +7346,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
-         + parse_dat(DAT34) + parse_dat(DAT35))
+         + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

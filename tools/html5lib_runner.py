@@ -138,6 +138,7 @@ def selftest() -> int:
         (Path(td) / "goldensX.dat").write_text(G.DAT33.strip("\n") + "\n")
         (Path(td) / "goldensY.dat").write_text(G.DAT34.strip("\n") + "\n")
         (Path(td) / "goldensZ.dat").write_text(G.DAT35.strip("\n") + "\n")
+        (Path(td) / "goldensAA.dat").write_text(G.DAT36.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
