@@ -6836,6 +6836,84 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# Tokenizer error-recovery and fragment-dispatch edges: the solidus
+# that is not directly before '>' is dropped, '<' before a digit is
+# literal text while '</' before a digit opens a bogus comment, '<'
+# is legal INSIDE an attribute name, junk after the doctype name
+# force-quirks the document (table stays inside p), the select
+# fragment context routes through in-select (pinning hr-in-select on
+# the fragment path too), and a breakout tag in an svg-path fragment
+# walks up to the root html element and lands as an HTML element
+# while the NEXT tag re-enters foreign via the context element.
+DAT37 = r"""
+#data
+<div/ id=a>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       id="a"
+|       "x"
+
+#data
+a<42>b</42>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a<42>b"
+|     <!-- 42 -->
+|     "c"
+
+#data
+<a <b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <a>
+|       <b=""
+|       "y"
+
+#data
+<!DOCTYPE html x><p>a<table><td>z
+#document
+| <!DOCTYPE html>
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <table>
+|         <tbody>
+|           <tr>
+|             <td>
+|               "z"
+
+#data
+x<option>a<hr><optgroup>b
+#document-fragment
+select
+#document
+| "x"
+| <option>
+|   "a"
+| <hr>
+| <optgroup>
+|   "b"
+
+#data
+<b>x</b><rect>
+#document-fragment
+svg path
+#document
+| <b>
+|   "x"
+| <svg rect>
+"""
+
+
 # Foreign-dispatch corner cases (an <svg> start tag inside a plain
 # MathML annotation-xml opens a REAL SVG subtree — the dispatcher
 # exception that needs no encoding attribute; an <svg> inside an SVG
@@ -7346,7 +7424,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT27) + parse_dat(DAT28)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
-         + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36))
+         + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
+         + parse_dat(DAT37))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
