@@ -6836,6 +6836,88 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# AFE reconstruction chains across implied-p closes, heading implied
+# close (h2 pops an open h1), a div fostered from in-row while the tr
+# stays open for the next cell, the form-pointer template bypass (a
+# form INSIDE template content is allowed while a sibling form after
+# it is still ignored), and td-closes-caption with the implied
+# tbody/tr ladder on reprocess.
+DAT38 = r"""
+#data
+<p><b>1<p>2<i>3<p>4
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|         "1"
+|     <p>
+|       <b>
+|         "2"
+|         <i>
+|           "3"
+|     <p>
+|       <b>
+|         <i>
+|           "4"
+
+#data
+<h1>a<h2>b</h2>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <h1>
+|       "a"
+|     <h2>
+|       "b"
+|     "c"
+
+#data
+<table><tr><div>x</div><td>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <div>
+|       "x"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "y"
+
+#data
+<form>a<template><form>b</form></template>c<form>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <form>
+|       "a"
+|       <template>
+|         content
+|           <form>
+|             "b"
+|       "cd"
+
+#data
+<table><caption>a<td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "a"
+|       <tbody>
+|         <tr>
+|           <td>
+|             "x"
+"""
+
+
 # Tokenizer error-recovery and fragment-dispatch edges: the solidus
 # that is not directly before '>' is dropped, '<' before a digit is
 # literal text while '</' before a digit opens a bogus comment, '<'
@@ -7425,7 +7507,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
-         + parse_dat(DAT37))
+         + parse_dat(DAT37) + parse_dat(DAT38))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

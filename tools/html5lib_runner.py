@@ -140,6 +140,7 @@ def selftest() -> int:
         (Path(td) / "goldensZ.dat").write_text(G.DAT35.strip("\n") + "\n")
         (Path(td) / "goldensAA.dat").write_text(G.DAT36.strip("\n") + "\n")
         (Path(td) / "goldensAB.dat").write_text(G.DAT37.strip("\n") + "\n")
+        (Path(td) / "goldensAC.dat").write_text(G.DAT38.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
