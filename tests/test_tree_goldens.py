@@ -6836,6 +6836,64 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# The rawtext/RCDATA element matrix: svg <style> is a plain foreign
+# element (a <b> inside it BREAKS OUT to body and swallows the stray
+# close tags), HTML noembed/iframe are genuine rawtext, textarea is
+# RCDATA (entities DO decode), and xmp is rawtext (entities do NOT).
+DAT39 = r"""
+#data
+<svg><style>x<b>y</style>z</svg>w
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg style>
+|         "x"
+|     <b>
+|       "yzw"
+
+#data
+<noembed>x<b>y</noembed>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <noembed>
+|       "x<b>y"
+|     "z"
+
+#data
+<iframe>a<b>c</iframe>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <iframe>
+|       "a<b>c"
+|     "d"
+
+#data
+<textarea>&lt;b&gt;</textarea>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <textarea>
+|       "<b>"
+
+#data
+<xmp>&amp;<b></xmp>ok
+#document
+| <html>
+|   <head>
+|   <body>
+|     <xmp>
+|       "&amp;<b>"
+|     "ok"
+"""
+
+
 # AFE reconstruction chains across implied-p closes, heading implied
 # close (h2 pops an open h1), a div fostered from in-row while the tr
 # stays open for the next cell, the form-pointer template bypass (a
@@ -7507,7 +7565,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
-         + parse_dat(DAT37) + parse_dat(DAT38))
+         + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
