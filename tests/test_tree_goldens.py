@@ -6836,6 +6836,88 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# Table recovery ladders and no-furthest-block AAA: a td after </tr>
+# implies a fresh row; <col> from inside a CELL closes cell -> row ->
+# section and opens a colgroup AFTER the tbody (while the char after
+# it fosters out of the table); a stray </th> in a td cell is ignored;
+# whitespace-only table text stays INSIDE the table/tr; and the
+# em/strong/small misnest runs the adoption agency's simple-pop path
+# (no furthest block) with AFE reconstruction at each following char.
+DAT40 = r"""
+#data
+<table><tr><td></tr><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|         <tr>
+|           <td>
+|             "x"
+
+#data
+<em><strong><small>x</em>y</strong>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <em>
+|       <strong>
+|         <small>
+|           "x"
+|     <strong>
+|       <small>
+|         "y"
+|     <small>
+|       "z"
+
+#data
+<table><tr><td>a</th>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "ab"
+
+#data
+<table><tbody><tr><td>a<col width=9>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     "b"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "a"
+|       <colgroup>
+|         <col>
+|           width="9"
+
+#data
+<table> <tr> <td>a b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       " "
+|       <tbody>
+|         <tr>
+|           " "
+|           <td>
+|             "a b"
+"""
+
+
 # The rawtext/RCDATA element matrix: svg <style> is a plain foreign
 # element (a <b> inside it BREAKS OUT to body and swallows the stray
 # close tags), HTML noembed/iframe are genuine rawtext, textarea is
@@ -7565,7 +7647,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT29) + parse_dat(DAT30)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
-         + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39))
+         + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
+         + parse_dat(DAT40))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
