@@ -6836,6 +6836,63 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# Case-adjustment tables on the foreign ROOT element (viewbox ->
+# viewBox, attributename -> attributeName, foreignobject ->
+# foreignObject, definitionurl -> definitionURL), metadata content
+# riding the in-head rules INSIDE an open table row, and the
+# in-select anything-else rule eating <p>/<div> while their text
+# accumulates in the open option.
+DAT41 = r"""
+#data
+<svg viewbox="0 0 1 1" attributename=x><foreignobject>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       attributeName="x"
+|       viewBox="0 0 1 1"
+|       <svg foreignObject>
+|         "y"
+
+#data
+<math definitionurl=u><mi>m
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       definitionURL="u"
+|       <math mi>
+|         "m"
+
+#data
+<table><tr><style>.c{}</style><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <style>
+|             ".c{}"
+|           <td>
+|             "x"
+
+#data
+<select><option>a<p>b<div>c</select>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <select>
+|       <option>
+|         "abc"
+|     "d"
+"""
+
+
 # Table recovery ladders and no-furthest-block AAA: a td after </tr>
 # implies a fresh row; <col> from inside a CELL closes cell -> row ->
 # section and opens a colgroup AFTER the tbody (while the char after
@@ -7648,7 +7705,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
-         + parse_dat(DAT40))
+         + parse_dat(DAT40) + parse_dat(DAT41))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
