@@ -6836,6 +6836,69 @@ a&#x10FFFF;b&#x110000;c
 """
 
 
+# Marquee as scope boundary and AFE marker (</p> inside marquee
+# inserts an EMPTY p because the outer p is hidden from button scope;
+# </b> inside marquee is ignored because the marker hides the outer b
+# — which is still open and receives the text after </marquee>), an
+# HTML end tag reaching through an open foreign subtree to close the
+# cell, and the video/source/track void-children family.
+DAT42 = r"""
+#data
+<p>a<marquee>b</p>c</marquee>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <marquee>
+|         "b"
+|         <p>
+|         "c"
+|       "d"
+
+#data
+<b><marquee>x</b>y</marquee>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <marquee>
+|         "xy"
+|       "z"
+
+#data
+<table><td><svg><g>x</td>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "y"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             <svg svg>
+|               <svg g>
+|                 "x"
+
+#data
+<video><source src=a><track kind=b>x</video>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <video>
+|       <source>
+|         src="a"
+|       <track>
+|         kind="b"
+|       "x"
+|     "y"
+"""
+
+
 # Case-adjustment tables on the foreign ROOT element (viewbox ->
 # viewBox, attributename -> attributeName, foreignobject ->
 # foreignObject, definitionurl -> definitionURL), metadata content
@@ -7705,7 +7768,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
-         + parse_dat(DAT40) + parse_dat(DAT41))
+         + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
