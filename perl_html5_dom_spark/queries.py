@@ -916,6 +916,22 @@ def q_wet_extract(spark, sf_dir):
         "url", "text", f"cast(size({toks}) as bigint) as ws_tokens")
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX-style capture indexing (sources/warc.py:iter_cdx_entries —
+    the queryable index Common Crawl publishes beside every crawl):
+    every page becomes a WARC response member in-kernel and is indexed
+    back out, HTTP status + MIME from the envelope parse, payload
+    length and MD5 over the exact payload bytes.  The oracle recomputes
+    length/md5 from the page-template html string (DuckDB md5(varchar)
+    hashes UTF-8 bytes — the same bytes the WARC payload carries) and
+    status/mime as the writer's envelope constants, so any framing slip
+    (header drift, Content-Length mis-count, member boundary, charset
+    mangling) shifts the digest.  Member byte offsets are pinned by
+    pytest on real multi-record files (tests/test_warc.py; compressed
+    layout isn't SQL-derivable)."""
+    return wc.cdx_roundtrip_df(pg.pages_df(spark, sf_dir))
+
+
 def q_pdf_extract_text(spark, sf_dir):
     """PDF layout-parse (north rule): from-scratch parser (dom/pdf.py)
     over the deterministic 4-variant PDF corpus; oracle derives the
@@ -1313,6 +1329,7 @@ QUERIES = {
     # stays covered by tools/parity_check.py)
     "ann_topk_lsh": q_ann_topk_lsh,
     "attr_include": q_attr_include,
+    "cdx_index": q_cdx_index,
     "contamination": q_contamination,
     "corpus_split": q_corpus_split,
     "cosine_near_dups": q_cosine_near_dups,
@@ -1729,6 +1746,14 @@ ORACLES: dict[str, str] = {
     # extraction equals the direct page-template answer
     "warc_extract":
         f"{PAGES_CTE} select url, text as main_text from pages",
+    # CDX capture index: status/mime are the response-envelope
+    # constants; payload length/md5 re-derived from the template html
+    # string (md5(varchar) hashes the UTF-8 bytes the payload carries)
+    "cdx_index":
+        f"{PAGES_CTE} select url, cast(200 as bigint) as status, "
+        "'text/html' as mime, "
+        "cast(octet_length(encode(html_str)) as bigint) as payload_len, "
+        "md5(html_str) as payload_md5 from pages",
     # WET round-trip: faithful conversion-record framing means the
     # payload equals the documents text verbatim
     "wet_extract":

@@ -135,6 +135,78 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             yield rec
 
 
+def iter_cdx_entries(data: bytes) -> Iterator[dict]:
+    """CDX-style capture-index entries for one ``.warc[.gz]`` blob: one
+    dict per ``response`` record carrying the fields a CDX(J) line needs
+    — ``url``, ``warc_ts``, the record's byte ``offset`` + ``length``
+    (for per-record-gzip files these are the gzip MEMBER's compressed
+    span, the range-read handle Common Crawl's own index stores), HTTP
+    ``status``, payload ``mime`` (envelope Content-Type sans params),
+    ``payload_len`` and ``payload_md5`` over the exact payload bytes.
+
+    Reference parity note: the reference engine has no WARC layer; this
+    is part of the crawl-ingestion surface the Spark build adds (CC
+    publishes exactly this index next to every crawl)."""
+    import hashlib
+
+    def entries(blob: bytes, offset: int, length: int) -> Iterator[dict]:
+        for rec in _records_from_plain(blob):
+            if rec["warc_type"] != "response":
+                continue
+            http, payload = split_http_response(rec["body"])
+            try:
+                status = int(http.get(":status", ""))
+            except ValueError:
+                status = 0
+            yield {
+                "url": rec["target_uri"],
+                "warc_ts": rec["date"],
+                "offset": offset,
+                "length": length,
+                "status": status,
+                "mime": http.get("content-type", "").split(";")[0].strip(),
+                "payload_len": len(payload),
+                "payload_md5": hashlib.md5(payload).hexdigest(),
+            }
+
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n:
+            if data[pos:pos + 2] != b"\x1f\x8b":
+                raise WarcError(f"not a gzip member at offset {pos}")
+            d = zlib.decompressobj(wbits=31)
+            try:
+                blob = d.decompress(data[pos:])
+            except zlib.error as exc:
+                raise WarcError(
+                    f"corrupt gzip member at {pos}: {exc}") from exc
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            yield from entries(blob, pos, consumed)
+            pos += consumed
+    else:
+        # plain .warc (or whole-file gzip already inflated by a caller):
+        # spans are the record's own byte range in the file
+        pos = 0
+        n = len(data)
+        while pos < n:
+            while data[pos:pos + 2] == _CRLF:
+                pos += 2
+            if pos >= n:
+                return
+            hdr_end = data.find(_CRLF + _CRLF, pos)
+            if hdr_end < 0:
+                raise WarcError("unterminated WARC header block")
+            version_end = data.find(_CRLF, pos)
+            headers = _parse_headers(data[version_end + 2:hdr_end])
+            length = int(headers.get("content-length", "0"))
+            end = hdr_end + 4 + length
+            yield from entries(data[pos:end], pos, end - pos)
+            pos = end
+
+
 # ---------------------------------------------------------------------------
 # writing (tests + deterministic corpus)
 # ---------------------------------------------------------------------------
@@ -230,6 +302,76 @@ def roundtrip_df(df):
 
     return df.select("url", "html").mapInPandas(
         run, schema="url string, html binary")
+
+
+_CDX_COLS = ("url", "warc_ts", "offset", "length",
+             "status", "mime", "payload_len", "payload_md5")
+_CDX_SCHEMA = ("url string, warc_ts string, offset bigint, length bigint, "
+               "status bigint, mime string, payload_len bigint, "
+               "payload_md5 string")
+
+
+def cdx_index_df(spark, path: str):
+    """``*.warc[.gz]`` files → CDX-style capture index DataFrame
+    (:data:`_CDX_SCHEMA` plus a leading ``file`` column): the queryable
+    index Common Crawl publishes beside every crawl, built with the same
+    one-file-one-task parallelism as :func:`warc_pages_df`.
+
+    100 TB shape: the kernel emits only index rows (no payload column
+    leaves the executor), so the stage is scan-bound and its output is
+    ~100 B/record — small enough to broadcast-join against a URL list
+    for targeted member range-reads."""
+    import os as _os
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {"file": []}
+            out.update({k: [] for k in _CDX_COLS})
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(str(pth))
+                for e in iter_cdx_entries(bytes(content)):
+                    out["file"].append(base)
+                    for k in _CDX_COLS:
+                        out[k].append(e[k])
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        run, schema="file string, " + _CDX_SCHEMA)
+
+
+def cdx_roundtrip_df(df):
+    """DataFrame(url, html) → one CDX entry per page, the WARC layer
+    made in-flight (the :func:`roundtrip_df` trick): page → response
+    record → per-record-gzip member → :func:`iter_cdx_entries`.  Keeps
+    the physical-layout-independent columns (status/mime from the HTTP
+    envelope parse, payload length + MD5 over the exact payload bytes)
+    so a DuckDB oracle can re-derive every value from the page template;
+    member offsets/lengths are pinned by pytest on real multi-record
+    files instead (compressed layout isn't SQL-derivable)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"url": [], "status": [], "mime": [],
+                   "payload_len": [], "payload_md5": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = build_warc(
+                    [build_response_record(url, bytes(html))])
+                (e,) = iter_cdx_entries(data)
+                out["url"].append(e["url"])
+                out["status"].append(e["status"])
+                out["mime"].append(e["mime"])
+                out["payload_len"].append(e["payload_len"])
+                out["payload_md5"].append(e["payload_md5"])
+            yield pd.DataFrame(out)
+
+    return df.select("url", "html").mapInPandas(
+        run, schema="url string, status bigint, mime string, "
+                    "payload_len bigint, payload_md5 string")
 
 
 def wet_roundtrip_df(df):

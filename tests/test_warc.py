@@ -84,6 +84,83 @@ def test_garbage_raises():
         list(iter_warc_records(b"\x1f\x8b\x00broken gzip"))
 
 
+def test_cdx_entries_range_read():
+    """CDX offsets/lengths must be real range-read handles: inflating
+    exactly [offset, offset+length) of the .warc.gz reproduces the
+    record, and payload digests match the source bytes."""
+    import hashlib
+    import zlib
+
+    from perl_html5_dom_spark.sources.warc import (
+        _records_from_plain, iter_cdx_entries)
+
+    bodies = [f"<h1>t{i}</h1><p>doc {i}</p>".encode() for i in range(3)]
+    recs = make_records(3)
+    data = build_warc(recs)
+    entries = list(iter_cdx_entries(data))
+    assert [e["url"] for e in entries] == [f"https://x.org/{i}"
+                                           for i in range(3)]
+    # warcinfo member precedes the first capture; offsets strictly grow
+    assert entries[0]["offset"] > 0
+    assert all(a["offset"] + a["length"] == b["offset"]
+               for a, b in zip(entries, entries[1:]))
+    assert entries[-1]["offset"] + entries[-1]["length"] == len(data)
+    for i, e in enumerate(entries):
+        member = data[e["offset"]:e["offset"] + e["length"]]
+        (rec,) = _records_from_plain(zlib.decompress(member, wbits=31))
+        http, payload = split_http_response(rec["body"])
+        assert payload == bodies[i]
+        assert e["status"] == 200
+        assert e["mime"] == "text/html"
+        assert e["payload_len"] == len(bodies[i])
+        assert e["payload_md5"] == hashlib.md5(bodies[i]).hexdigest()
+        assert e["warc_ts"] == f"2025-01-0{i + 1}T00:00:00Z"
+
+    # plain .warc: spans are record byte ranges in the file itself
+    plain = build_warc(recs, per_record_gzip=False)
+    pe = list(iter_cdx_entries(plain))
+    assert len(pe) == 3
+    for i, e in enumerate(pe):
+        assert plain[e["offset"]:e["offset"] + e["length"]].startswith(
+            b"WARC/1.0")
+        assert e["payload_md5"] == hashlib.md5(bodies[i]).hexdigest()
+
+
+def test_spark_cdx_index(spark, tmp_path):
+    """cdx_index_df over a two-file drop: every capture indexed with
+    its file, monotonic member spans per file, envelope fields parsed."""
+    import hashlib
+
+    from perl_html5_dom_spark.sources.warc import cdx_index_df
+
+    html = {}
+    for fi, n in ((0, 4), (1, 3)):
+        recs = []
+        for i in range(n):
+            body = f"<html><p>cdx {fi}{i}</p></html>".encode()
+            html[f"https://crawl.example/{fi}/{i}"] = body
+            recs.append(build_response_record(
+                f"https://crawl.example/{fi}/{i}", body,
+                date="2025-02-03T04:05:06Z"))
+        (tmp_path / f"part-{fi}.warc.gz").write_bytes(build_warc(recs))
+
+    rows = cdx_index_df(spark, str(tmp_path)).collect()
+    assert len(rows) == 7
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r.file, []).append(r)
+        assert r.status == 200 and r.mime == "text/html"
+        assert r.payload_len == len(html[r.url])
+        assert r.payload_md5 == hashlib.md5(html[r.url]).hexdigest()
+    assert sorted(by_file) == ["part-0.warc.gz", "part-1.warc.gz"]
+    for fname, rs in by_file.items():
+        rs.sort(key=lambda r: r.offset)
+        size = (tmp_path / fname).stat().st_size
+        assert all(a.offset + a.length == b.offset
+                   for a, b in zip(rs, rs[1:]))
+        assert rs[-1].offset + rs[-1].length == size
+
+
 def test_spark_warc_source(spark, tmp_path):
     from pyspark.sql import functions as F
 
