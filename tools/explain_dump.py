@@ -225,6 +225,15 @@ def main() -> None:
          "aggregate as the deterministic exemplar; no Python, one "
          "Exchange in the whole plan.")
 
+    from perl_html5_dom_spark.queries import q_cdx_index
+    grab("cdx_index: scan-bound capture indexing",
+         q_cdx_index(spark, sf),
+         "ONE MapInPandas directly over a projection of (url, html) — "
+         "no Exchange anywhere: the index is a pure per-record "
+         "projection, so at CC scale the stage is bounded by the WARC "
+         "scan itself and its ~100 B/record output can broadcast-join "
+         "against URL lists for targeted member range-reads.")
+
     from perl_html5_dom_spark.queries import q_webtext_pipeline
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),
