@@ -7752,6 +7752,153 @@ DAT33 = r"""
 """
 
 
+# Family #43 — inbody01 / namespace-sensitivity territory: the
+# any-other-end-tag walk ABORTING at a special element before reaching
+# its match (</foo> with an open <p> is ignored outright, so the text
+# keeps flowing into the p); unknown elements as formatting-transparent
+# containers; dd/dt mutual-close runs with li breaking at the special
+# dd rather than closing it; table-section tag names (tbody/tr/td/
+# thead/tfoot) inside <svg> staying FOREIGN (none are in the §13.2.6.5
+# breakout list — namespace-sensitivity's core trap); hgroup closing
+# an open p, h1→h2 implied heading close INSIDE hgroup, and the block
+# end-tag popping the still-open heading (h2 is not in the
+# implied-end-tag list); nested <ul> text placement after the inner
+# list closes; hyphenated foreign element + attribute dumped verbatim;
+# unknown MathML children staying in the math namespace.  Every
+# expectation hand-derived from WHATWG 13.2.6.4.7/13.2.6.5 before
+# pinning; both lanes (TreeBuilder + fastparse) adjudicated.
+DAT43 = r"""
+#data
+<button>1</foo>2
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       "12"
+
+#data
+<foo>1<p>2</foo>3</p>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <foo>
+|       "1"
+|       <p>
+|         "23"
+
+#data
+<dd>a<dd>b<dt>c<dt>d<dd>e<li>f<li>g
+#document
+| <html>
+|   <head>
+|   <body>
+|     <dd>
+|       "a"
+|     <dd>
+|       "b"
+|     <dt>
+|       "c"
+|     <dt>
+|       "d"
+|     <dd>
+|       "e"
+|       <li>
+|         "f"
+|       <li>
+|         "g"
+
+#data
+<svg><tbody><tr><td>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg tbody>
+|         <svg tr>
+|           <svg td>
+|             "x"
+
+#data
+<svg><thead>a</thead><tfoot>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg thead>
+|         "a"
+|       <svg tfoot>
+|         "b"
+
+#data
+<hgroup><h1>a<h2>b</hgroup>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <hgroup>
+|       <h1>
+|         "a"
+|       <h2>
+|         "b"
+|     "c"
+
+#data
+<p>a<hgroup>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <hgroup>
+|       "b"
+
+#data
+<ul><li>a<ul><li>b</ul>c</li>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         "a"
+|         <ul>
+|           <li>
+|             "b"
+|         "c"
+|       "d"
+
+#data
+<svg><foo-bar baz-qux="1">x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <svg svg>
+|       <svg foo-bar>
+|         baz-qux="1"
+|         "x"
+
+#data
+<math><mrow><mi>a</mi><foo>b</foo></mrow>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <math math>
+|       <math mrow>
+|         <math mi>
+|           "a"
+|         <math foo>
+|           "b"
+|       "z"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -7768,7 +7915,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT31) + parse_dat(DAT32) + parse_dat(DAT33)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
-         + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42))
+         + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
+         + parse_dat(DAT43))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

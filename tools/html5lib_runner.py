@@ -145,6 +145,7 @@ def selftest() -> int:
         (Path(td) / "goldensAE.dat").write_text(G.DAT40.strip("\n") + "\n")
         (Path(td) / "goldensAF.dat").write_text(G.DAT41.strip("\n") + "\n")
         (Path(td) / "goldensAG.dat").write_text(G.DAT42.strip("\n") + "\n")
+        (Path(td) / "goldensAH.dat").write_text(G.DAT43.strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
