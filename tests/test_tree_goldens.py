@@ -7899,6 +7899,119 @@ DAT43 = r"""
 """
 
 
+# Family #44 — the interactive-element p-closers the corpus never
+# sampled: summary/details/dialog are ALL in the §13.2.6.4.7 p-closing
+# start-tag list (same entry as address/div) AND the matching end-tag
+# list (generate implied end tags, then pop to the match), yet
+# summary/details had zero goldens and dialog two.  Cases pin: each of
+# the three closing an open <p>; their end tags implying the open <p>
+# closed (p IS in the implied-end-tag list, details/summary are NOT);
+# </dialog> with none in scope ignored outright; </summary> reaching
+# through an open <p> via the standard-scope check (p and details do
+# not block scope); <details> inserted under a still-open formatting
+# <b> without reconstruction churn; and </button> popping a details
+# that implied-end-tags alone would never close.  Every expectation
+# hand-derived from WHATWG 13.2.6.4.7 before pinning; both lanes
+# (TreeBuilder + fastparse) adjudicated.
+DAT44 = r"""
+#data
+<p>x<details>y</details><p>z<summary>w
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|     <details>
+|       "y"
+|     <p>
+|       "z"
+|     <summary>
+|       "w"
+
+#data
+<details><p>x</details>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <details>
+|       <p>
+|         "x"
+|     "y"
+
+#data
+a</dialog>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     "ab"
+
+#data
+<p>a<dialog>b</dialog>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <dialog>
+|       "b"
+|     "c"
+
+#data
+<details><summary><p>s</summary>t</details>u
+#document
+| <html>
+|   <head>
+|   <body>
+|     <details>
+|       <summary>
+|         <p>
+|           "s"
+|       "t"
+|     "u"
+
+#data
+<b><p>x<details>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <p>
+|         "x"
+|       <details>
+|         "y"
+
+#data
+<dialog><p>one<p>two</dialog><p>three
+#document
+| <html>
+|   <head>
+|   <body>
+|     <dialog>
+|       <p>
+|         "one"
+|       <p>
+|         "two"
+|     <p>
+|       "three"
+
+#data
+<button><details>x</button>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <button>
+|       <details>
+|         "x"
+|     "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -7916,7 +8029,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
-         + parse_dat(DAT43))
+         + parse_dat(DAT43) + parse_dat(DAT44))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,

@@ -18,6 +18,7 @@ tests/test_tree_goldens.py (run those via pytest).
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -103,49 +104,14 @@ def selftest() -> int:
     import test_tree_goldens as G
 
     with tempfile.TemporaryDirectory(prefix="html5lib_selftest_") as td:
-        (Path(td) / "goldens1.dat").write_text(G.DAT.strip("\n") + "\n")
-        (Path(td) / "goldens2.dat").write_text(G.DAT2.strip("\n") + "\n")
-        (Path(td) / "goldens3.dat").write_text(G.DAT3.strip("\n") + "\n")
-        (Path(td) / "goldens4.dat").write_text(G.DAT4.strip("\n") + "\n")
-        (Path(td) / "goldens5.dat").write_text(G.DAT5.strip("\n") + "\n")
-        (Path(td) / "goldens6.dat").write_text(G.DAT6.strip("\n") + "\n")
-        (Path(td) / "goldens7.dat").write_text(G.DAT7.strip("\n") + "\n")
-        (Path(td) / "goldens8.dat").write_text(G.DAT8.strip("\n") + "\n")
-        (Path(td) / "goldens9.dat").write_text(G.DAT9.strip("\n") + "\n")
-        (Path(td) / "goldensA.dat").write_text(G.DAT10.strip("\n") + "\n")
-        (Path(td) / "goldensB.dat").write_text(G.DAT11.strip("\n") + "\n")
-        (Path(td) / "goldensC.dat").write_text(G.DAT12.strip("\n") + "\n")
-        (Path(td) / "goldensD.dat").write_text(G.DAT13.strip("\n") + "\n")
-        (Path(td) / "goldensE.dat").write_text(G.DAT14.strip("\n") + "\n")
-        (Path(td) / "goldensF.dat").write_text(G.DAT15.strip("\n") + "\n")
-        (Path(td) / "goldensG.dat").write_text(G.DAT16.strip("\n") + "\n")
-        (Path(td) / "goldensH.dat").write_text(G.DAT17.strip("\n") + "\n")
-        (Path(td) / "goldensI.dat").write_text(G.DAT18.strip("\n") + "\n")
-        (Path(td) / "goldensJ.dat").write_text(G.DAT19.strip("\n") + "\n")
-        (Path(td) / "goldensK.dat").write_text(G.DAT20.strip("\n") + "\n")
-        (Path(td) / "goldensL.dat").write_text(G.DAT21.strip("\n") + "\n")
-        (Path(td) / "goldensM.dat").write_text(G.DAT22.strip("\n") + "\n")
-        (Path(td) / "goldensN.dat").write_text(G.DAT23.strip("\n") + "\n")
-        (Path(td) / "goldensO.dat").write_text(G.DAT24.strip("\n") + "\n")
-        (Path(td) / "goldensP.dat").write_text(G.DAT25.strip("\n") + "\n")
-        (Path(td) / "goldensQ.dat").write_text(G.DAT26.strip("\n") + "\n")
-        (Path(td) / "goldensR.dat").write_text(G.DAT27.strip("\n") + "\n")
-        (Path(td) / "goldensS.dat").write_text(G.DAT28.strip("\n") + "\n")
-        (Path(td) / "goldensT.dat").write_text(G.DAT29.strip("\n") + "\n")
-        (Path(td) / "goldensU.dat").write_text(G.DAT30.strip("\n") + "\n")
-        (Path(td) / "goldensV.dat").write_text(G.DAT31.strip("\n") + "\n")
-        (Path(td) / "goldensW.dat").write_text(G.DAT32.strip("\n") + "\n")
-        (Path(td) / "goldensX.dat").write_text(G.DAT33.strip("\n") + "\n")
-        (Path(td) / "goldensY.dat").write_text(G.DAT34.strip("\n") + "\n")
-        (Path(td) / "goldensZ.dat").write_text(G.DAT35.strip("\n") + "\n")
-        (Path(td) / "goldensAA.dat").write_text(G.DAT36.strip("\n") + "\n")
-        (Path(td) / "goldensAB.dat").write_text(G.DAT37.strip("\n") + "\n")
-        (Path(td) / "goldensAC.dat").write_text(G.DAT38.strip("\n") + "\n")
-        (Path(td) / "goldensAD.dat").write_text(G.DAT39.strip("\n") + "\n")
-        (Path(td) / "goldensAE.dat").write_text(G.DAT40.strip("\n") + "\n")
-        (Path(td) / "goldensAF.dat").write_text(G.DAT41.strip("\n") + "\n")
-        (Path(td) / "goldensAG.dat").write_text(G.DAT42.strip("\n") + "\n")
-        (Path(td) / "goldensAH.dat").write_text(G.DAT43.strip("\n") + "\n")
+        # every DAT* family in test_tree_goldens, numerically ordered —
+        # a new family is picked up with no change here
+        fams = sorted(
+            (n for n in dir(G) if re.fullmatch(r"DAT[0-9]*", n)),
+            key=lambda n: int(n[3:] or "1"))
+        for i, name in enumerate(fams, 1):
+            (Path(td) / f"goldens{i:03d}_{name}.dat").write_text(
+                getattr(G, name).strip("\n") + "\n")
         total_ok = total_fail = 0
         for f in sorted(Path(td).glob("*.dat")):
             ok, fail, failures = run_file(f)
