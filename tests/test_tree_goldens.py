@@ -8012,6 +8012,148 @@ a</dialog>b
 """
 
 
+# Family #45 — the form-associated ORDINARY elements (label, legend,
+# output, progress, meter, datalist) that had zero golden coverage.
+# They are not in the §13.2.4.2 special category, which flips three
+# behaviors relative to their special-looking siblings: (a) they never
+# act as an AAA furthest block, so misnested formatting takes the
+# no-furthest-block simple-pop path instead of the full agency (the
+# <fieldset> contrast case runs the full agency and also pins the
+# post-AAA insertion point: following text lands in the FURTHEST BLOCK
+# as a sibling of the clone, exactly like adoption01's <a><p></a>a);
+# (b) the any-other-end-tag walk steps straight THROUGH them to find a
+# match (but still aborts at a genuinely special element like <p>);
+# (c) they do not close an open <p> — while <fieldset> (special AND in
+# the p-closing start-tag list) does all three opposites.  Expectations
+# hand-derived from WHATWG 13.2.6.4.7 (in body) + the AAA steps in
+# 13.2.6.5 before pinning; both lanes adjudicated by
+# test_fastparse.test_golden_cases_fast_lane_parity.
+DAT45 = r"""
+#data
+<p>a<fieldset>b<legend>c</fieldset>d
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <fieldset>
+|       "b"
+|       <legend>
+|         "c"
+|     "d"
+
+#data
+<p>a<label>b<p>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <label>
+|         "b"
+|     <p>
+|       "c"
+
+#data
+<b><label>x</b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <label>
+|         "x"
+|     "y"
+
+#data
+<b><fieldset>x</b>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|     <fieldset>
+|       <b>
+|         "x"
+|       "y"
+
+#data
+<progress>1<meter>2</progress>3
+#document
+| <html>
+|   <head>
+|   <body>
+|     <progress>
+|       "1"
+|       <meter>
+|         "2"
+|     "3"
+
+#data
+<datalist><option>a<option>b</datalist>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <datalist>
+|       <option>
+|         "a"
+|       <option>
+|         "b"
+|     "c"
+
+#data
+<p><legend>a</p>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <legend>
+|         "a"
+|     "b"
+
+#data
+<output><p>x</output>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <output>
+|       <p>
+|         "xy"
+
+#data
+<table><label>x<td>y</table>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <label>
+|       "x"
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "y"
+|     "z"
+
+#data
+<p><datalist><option>x</datalist></p>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <datalist>
+|         <option>
+|           "x"
+|     "y"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8029,7 +8171,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
-         + parse_dat(DAT43) + parse_dat(DAT44))
+         + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
