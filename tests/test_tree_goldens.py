@@ -8154,6 +8154,110 @@ DAT45 = r"""
 """
 
 
+# Family #46 — zero-coverage leftovers with real parser rules:
+# <dir> (legacy, SPECIAL, p-closing, and a <li>-algorithm scope
+# breaker — an open <li> survives a nested <dir><li>), the void
+# elements <embed> (area/br/embed/img/keygen/wbr rule) and <source>
+# (param/source/track rule, here inside its natural <picture> host),
+# <figcaption>/<article>/<nav> from the §13.2.6.4.7 p-closing list —
+# with the stray-</p> case pinning the insert-dummy-p-then-close rule
+# — and ordinary <time>/<bdo> stepped through by any-other-end-tag.
+# Expectations hand-derived from WHATWG 13.2.6.4.7 before pinning;
+# both lanes adjudicated by the fast-lane parity test.
+DAT46 = r"""
+#data
+<ul><li>a<dir><li>b</dir>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <ul>
+|       <li>
+|         "a"
+|         <dir>
+|           <li>
+|             "b"
+|         "c"
+
+#data
+<p>x<dir>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "x"
+|     <dir>
+|       "y"
+
+#data
+<p>a<embed src="e">b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|       <embed>
+|         src="e"
+|       "b"
+
+#data
+<picture><source srcset="s"><img src="i">t</picture>u
+#document
+| <html>
+|   <head>
+|   <body>
+|     <picture>
+|       <source>
+|         srcset="s"
+|       <img>
+|         src="i"
+|       "t"
+|     "u"
+
+#data
+<p>a<figcaption>b</p>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "a"
+|     <figcaption>
+|       "b"
+|       <p>
+|       "c"
+
+#data
+<p>1<article>2<nav>3</article>4
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       "1"
+|     <article>
+|       "2"
+|       <nav>
+|         "3"
+|     "4"
+
+#data
+<time>a<bdo dir="rtl">b</time>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <time>
+|       "a"
+|       <bdo>
+|         dir="rtl"
+|         "b"
+|     "c"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8171,7 +8275,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT34) + parse_dat(DAT35) + parse_dat(DAT36)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
-         + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45))
+         + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45)
+         + parse_dat(DAT46))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
