@@ -8258,6 +8258,85 @@ DAT46 = r"""
 """
 
 
+# Family #47 — tokenizer error-recovery forms with no golden yet,
+# each pinning a distinct §13.2.5 transition: `</>` (empty end tag,
+# dropped entirely, both surrounding texts merge), `<!->` (markup
+# declaration open fails the `--` match one char short -> bogus
+# comment holding the lone "-"), `< a>` / `<3` (tag-open on
+# non-alpha re-emits the "<" as text), `</ b>` (end-tag-open on
+# non-alpha -> bogus comment, NOT text), `<a =b>` (unexpected equals
+# before attribute name starts an attribute literally named "=b"),
+# and `<p/q r=s>` (slash mid-tag is dropped, the element is NOT
+# self-closed, q becomes a valueless attribute).  Hand-derived from
+# the WHATWG tokenizer states before pinning; both lanes adjudicated.
+DAT47 = r"""
+#data
+x</>y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "xy"
+
+#data
+x<!->y
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <!-- - -->
+|     "y"
+
+#data
+a< b>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a< b>c"
+
+#data
+a<3b
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a<3b"
+
+#data
+a</ b>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     "a"
+|     <!--  b -->
+|     "c"
+
+#data
+<span =b>x
+#document
+| <html>
+|   <head>
+|   <body>
+|     <span>
+|       =b=""
+|       "x"
+
+#data
+<p/q r=s>t
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       q=""
+|       r="s"
+|       "t"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8276,7 +8355,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
          + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45)
-         + parse_dat(DAT46))
+         + parse_dat(DAT46) + parse_dat(DAT47))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
