@@ -8337,6 +8337,50 @@ a</ b>c
 """
 
 
+# Family #48 — fragment contexts the set never sampled, each hitting
+# a distinct branch of the reset-the-insertion-mode algorithm
+# (§13.2.4.1) or the fragment tokenizer-state table (§13.2.2):
+# optgroup resets to "in select" exactly like select itself (option
+# start tags pop an open option); style and iframe put the tokenizer
+# in RAWTEXT for the whole input, so markup stays literal text and
+# entities do NOT decode; thead resets to "in table body" and grows
+# the tr/td ladder without any table element on the stack.
+DAT48 = r"""
+#data
+<option>a<option>b
+#document-fragment
+optgroup
+#document
+| <option>
+|   "a"
+| <option>
+|   "b"
+
+#data
+a<b>&amp;c
+#document-fragment
+style
+#document
+| "a<b>&amp;c"
+
+#data
+x<span>y
+#document-fragment
+iframe
+#document
+| "x<span>y"
+
+#data
+<tr><td>x
+#document-fragment
+thead
+#document
+| <tr>
+|   <td>
+|     "x"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8355,7 +8399,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
          + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45)
-         + parse_dat(DAT46) + parse_dat(DAT47))
+         + parse_dat(DAT46) + parse_dat(DAT47) + parse_dat(DAT48))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
