@@ -8381,6 +8381,69 @@ thead
 """
 
 
+# Family #49 — <xmp>'s start-tag rule is unique among the rawtext
+# elements: close an open <p>, then RECONSTRUCT the active formatting
+# elements, then switch the tokenizer (§13.2.6.4.7 "xmp").  Case 1
+# pins the reconstruction: </p> popped <b> off the stack but left it
+# in the AFE, so <xmp> first revives a fresh <b> in body and nests
+# under it — and the post-</xmp> text lands back in that revived <b>.
+# Case 2 pins xmp's own p-closing with the formatting element still
+# open (no reconstruction churn).  Cases 3-4 pin the first-newline
+# skip boundary: only the FIRST newline immediately after the
+# pre/listing start tag is dropped (a second survives), and an
+# intervening element cancels the skip entirely.
+DAT49 = r"""
+#data
+<p><b></p><xmp>y</xmp>z
+#document
+| <html>
+|   <head>
+|   <body>
+|     <p>
+|       <b>
+|     <b>
+|       <xmp>
+|         "y"
+|       "z"
+
+#data
+<b><p>1<xmp>2
+#document
+| <html>
+|   <head>
+|   <body>
+|     <b>
+|       <p>
+|         "1"
+|       <xmp>
+|         "2"
+
+#data
+<listing>
+
+x</listing>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <listing>
+|       "
+x"
+
+#data
+<pre><span>
+x</span></pre>
+#document
+| <html>
+|   <head>
+|   <body>
+|     <pre>
+|       <span>
+|         "
+x"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8399,7 +8462,8 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT37) + parse_dat(DAT38) + parse_dat(DAT39)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
          + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45)
-         + parse_dat(DAT46) + parse_dat(DAT47) + parse_dat(DAT48))
+         + parse_dat(DAT46) + parse_dat(DAT47) + parse_dat(DAT48)
+         + parse_dat(DAT49))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
