@@ -8444,6 +8444,62 @@ x"
 """
 
 
+# Family #50 — three table-mode details with no golden: (1) </tr>
+# arriving in "in cell" runs close-the-cell FIRST and is then
+# reprocessed in "in row" (§13.2.6.4.15), so one end tag closes both
+# the td and the tr; (2) the in-table <input type=hidden> exemption
+# is ASCII case-insensitive on the VALUE — type=HIDDEN stays a child
+# of the table (not fostered) while the following text still fosters
+# out; (3) a nested <table> start tag inside an open <caption> falls
+# through in-caption's anything-else to the in-body rules and nests
+# INSIDE the caption (no forced caption close — contrast the
+# td-closes-caption family).  Hand-derived from WHATWG 13.2.6.4.9-.15
+# before pinning; both lanes adjudicated.
+DAT50 = r"""
+#data
+<table><tr><td>a</tr><tr><td>b</table>c
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <tbody>
+|         <tr>
+|           <td>
+|             "a"
+|         <tr>
+|           <td>
+|             "b"
+|     "c"
+
+#data
+<table><input type="HIDDEN">x</table>
+#document
+| <html>
+|   <head>
+|   <body>
+|     "x"
+|     <table>
+|       <input>
+|         type="HIDDEN"
+
+#data
+<table><caption>a<table><td>b
+#document
+| <html>
+|   <head>
+|   <body>
+|     <table>
+|       <caption>
+|         "a"
+|         <table>
+|           <tbody>
+|             <tr>
+|               <td>
+|                 "b"
+"""
+
+
 CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT4) + parse_dat(DAT5) + parse_dat(DAT6)
          + parse_dat(DAT7) + parse_dat(DAT8) + parse_dat(DAT9)
@@ -8463,7 +8519,7 @@ CASES = (parse_dat(DAT) + parse_dat(DAT2) + parse_dat(DAT3)
          + parse_dat(DAT40) + parse_dat(DAT41) + parse_dat(DAT42)
          + parse_dat(DAT43) + parse_dat(DAT44) + parse_dat(DAT45)
          + parse_dat(DAT46) + parse_dat(DAT47) + parse_dat(DAT48)
-         + parse_dat(DAT49))
+         + parse_dat(DAT49) + parse_dat(DAT50))
 
 
 @pytest.mark.parametrize("src,frag_ctx,script,expected", CASES,
