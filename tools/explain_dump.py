@@ -225,6 +225,30 @@ def main() -> None:
          "aggregate as the deterministic exemplar; no Python, one "
          "Exchange in the whole plan.")
 
+    grab("ngram_repetition: zero-shuffle Gopher repetition fold",
+         textstats.ngram_repetition(docs.selectExpr("doc_id", "text")),
+         "Gopher A1.1 within-document repetition (round 5).  All nine "
+         "n-gram fractions (top-{2,3,4} + dup-{5..10}) must be ONE "
+         "Project over the scan — per-document sorted-run folds inside "
+         "WholeStageCodegen, NO Exchange, no explode, no Python.  The "
+         "relational alternative (9-way explode + groupBy(doc,n,gram)) "
+         "would shuffle the full n-gram stream; the DuckDB oracle does "
+         "exactly that, so the two engines share no code path.")
+
+    from perl_html5_dom_spark.queries import q_wet_extract
+    grab("wet_extract: WET lane is scan-shaped",
+         q_wet_extract(spark, sf),
+         "Provider-text ingestion (round 5).  The WET round-trip "
+         "(text -> conversion record -> gzip member -> parser) plus "
+         "the downstream token count must compile to MapInPandas "
+         "nodes over a two-column projection with no operator-owned "
+         "Exchange — the lane is record-local by construction, so at "
+         "CC scale it is bounded by the WET scan exactly like the "
+         "cdx_index audit below.  (The one Exchange below the kernel "
+         "is read_docs' repartition of the driver's single-row-group "
+         "test parquet — a test-data artifact, absent on a real "
+         "multi-file corpus.)")
+
     from perl_html5_dom_spark.queries import q_cdx_index
     grab("cdx_index: scan-bound capture indexing",
          q_cdx_index(spark, sf),
