@@ -516,26 +516,82 @@ def dedup_keep(docs: DataFrame, pairs: DataFrame,
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       bits: int = 32, chunks: int = 4) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming) via chunk-join candidates.
+    """(a, b, hamming ≤ max_hamming): SimHash near-dup pairs.
 
-    Pigeonhole: hamming ≤ chunks-1 guarantees an equal chunk, so with
-    chunks = max_hamming + 1 the join is exact."""
-    width = bits // chunks
-    mask = (1 << width) - 1
-    sh = simhash(docs, bits)
-    spark = docs.sparkSession
-    cids = spark.range(chunks).selectExpr("cast(id as int) as c")
-    keyed = sh.join(F.broadcast(cids)).selectExpr(
-        "doc_id", "simhash", "c",
-        f"shiftright(simhash, c * {width}) & {mask} as chunk")
-    keyed = _materialize(keyed)
-    l, r = keyed.alias("l"), keyed.alias("r")
-    return (
-        l.join(r, ["c", "chunk"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
-                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
-        .distinct()
-        .selectExpr("a", "b", "cast(bit_count(ha ^ hb) as bigint) as hamming")
+    Round-6 shape — two exact reductions on top of the plain
+    chunk-pigeonhole self-join (which emitted one candidate row per
+    shared 8-bit chunk: measured 618M candidate rows for a 26.6M-pair
+    answer at sf1):
+
+    1. VALUE COLLAPSE.  Candidate-ship and hamming depend only on the
+       simhash VALUE, so the index is built over DISTINCT values
+       (sf1: 49.6k values for 76.7k docs, classes up to 83 docs) and
+       doc pairs are recovered afterwards by expansion — cross-class
+       pairs inherit the value pair's hamming, same-value classes
+       contribute their m·(m-1)/2 pairs at hamming 0 (trivially
+       candidates: equal values share every chunk).  Dense buckets
+       shrink QUADRATICALLY (sf1: Σ n_b² 1.24G → Σ d_b² 0.37G).
+    2. MULTI-INDEX PROBES (multi-index Hamming search: Norouzi et al.
+       2012; HmSearch): split the ``bits`` into g groups such that
+       2g-1 ≥ max_hamming; a qualifying pair has ≤1 differing bit in
+       SOME group (pigeonhole), so an equi-join of exact group keys
+       against {key} ∪ {key ^ bit} probes finds every pair while
+       requiring (width-1)-of-width bit agreement — far more selective
+       than 8-bit chunk equality (sf1: 68M candidate rows vs 618M).
+
+    The ``chunks`` parameter of the legacy chunk join is kept for API
+    compatibility; exactness now rests on the group count derived from
+    ``max_hamming`` alone.  The bit_count filter runs map-side before
+    the value-pair distinct (filter∘distinct = distinct∘filter), so
+    the only wide exchanges carry value pairs and the output itself."""
+    sh = _materialize(simhash(docs, bits))   # (doc_id, simhash): reused
+    # materialized: feeds the probe AND exact index sides (and gives
+    # AQE the true ~|values| size so the index join broadcasts)
+    vals = _materialize(sh.select("simhash").distinct())
+    # g groups of ~bits/g; 1-bit probes cover hamming <= 2g-1
+    g = max_hamming // 2 + 1
+    widths = [bits // g + (1 if i < bits % g else 0) for i in range(g)]
+    offs = [sum(widths[:i]) for i in range(g)]
+    exact_entries, probe_entries = [], []
+    for h, (w, o) in enumerate(zip(widths, offs)):
+        mask = (1 << w) - 1
+        key = f"(shiftright(simhash, {o}) & {mask})"
+        exact_entries.append(f"struct({h} as h, {key} as key)")
+        probe_entries.append(
+            f"struct({h} as h, {key} as key)")
+        probe_entries.extend(
+            f"struct({h} as h, ({key} ^ {1 << b}) as key)"
+            for b in range(w))
+    exact = vals.selectExpr(
+        "simhash",
+        f"explode(array({', '.join(exact_entries)})) as e"
+    ).selectExpr("simhash", "e.h as h", "e.key as key")
+    probe = vals.selectExpr(
+        "simhash",
+        f"explode(array({', '.join(probe_entries)})) as e"
+    ).selectExpr("simhash", "e.h as h", "e.key as key")
+    vpairs = (
+        probe.alias("l").join(exact.alias("r"), ["h", "key"])
+        .filter(F.col("l.simhash") < F.col("r.simhash"))
+        .select(F.col("l.simhash").alias("va"),
+                F.col("r.simhash").alias("vb"),
+                F.expr("cast(bit_count(l.simhash ^ r.simhash) as bigint)")
+                .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    # materialized: the candidate stage (the expensive one) must run
+    # exactly once and hand AQE its true size before the expansion joins
+    vpairs = _materialize(vpairs)
+    cross = (
+        vpairs.join(sh.selectExpr("doc_id as x", "simhash as va"), "va")
+        .join(sh.selectExpr("doc_id as y", "simhash as vb"), "vb")
+        .selectExpr("least(x, y) as a", "greatest(x, y) as b", "hamming")
+    )
+    within = (
+        sh.alias("l").join(sh.alias("r"), "simhash")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .selectExpr("l.doc_id as a", "r.doc_id as b",
+                    "cast(0 as bigint) as hamming")
+    )
+    return cross.unionAll(within)

@@ -309,26 +309,40 @@ def extract_pages(df, span_selector: str | None = "a[href]",
 
         for pdf in batches:
             out = {k: [] for k in ("url",) + fields}
+            # batch-local exact-duplicate collapse: web corpora carry
+            # 30-50% byte-identical pages (mirrors, re-crawls, session
+            # urls) and the kernel output is a pure function of the html
+            # bytes — so each DISTINCT document is parsed once per Arrow
+            # batch and replicas reuse the result.  The memo dies with
+            # the batch (bounded memory: <= one batch of rows), and on
+            # an all-distinct corpus it costs one dict probe per row.
+            memo: dict = {}
             for url, html in zip(pdf["url"], pdf["html"]):
-                err = None
                 # real corpora carry null/empty html rows — emit an
                 # empty extraction instead of failing the task
                 if html is None:
-                    r = empty_row
+                    r, err = empty_row, None
                 else:
-                    if (max_html_bytes is not None
-                            and len(html) > max_html_bytes):
-                        err = (f"truncated: {len(html)} > "
-                               f"{max_html_bytes} bytes")
-                        html = html[:max_html_bytes]
-                    try:
-                        r = extract_one(html, compiled, kfields)
-                    except Exception as exc:  # noqa: BLE001 — containment
-                        if on_error == "raise":
-                            raise
-                        r = empty_row
-                        msg = f"{type(exc).__name__}: {exc}"
-                        err = f"{err}; {msg}" if err else msg
+                    hit = memo.get(html)
+                    if hit is None:
+                        err = None
+                        h = html
+                        if (max_html_bytes is not None
+                                and len(h) > max_html_bytes):
+                            err = (f"truncated: {len(h)} > "
+                                   f"{max_html_bytes} bytes")
+                            h = h[:max_html_bytes]
+                        try:
+                            r = extract_one(h, compiled, kfields)
+                        except Exception as exc:  # noqa: BLE001 — containment
+                            if on_error == "raise":
+                                raise
+                            r = empty_row
+                            msg = f"{type(exc).__name__}: {exc}"
+                            err = f"{err}; {msg}" if err else msg
+                        memo[html] = (r, err)
+                    else:
+                        r, err = hit
                 out["url"].append(url)
                 for k in kfields:
                     out[k].append(r[k])

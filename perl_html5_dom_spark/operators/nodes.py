@@ -82,90 +82,108 @@ def nodes_df(df, elements_only: bool = False, columns: list[str] | None = None):
         p for p in NODES_SCHEMA.split(", ") if p.split(" ")[0] in set(keep)))
     want = set(keep)
 
+    doc_cols = [c for c in keep if c != "url"]
+
+    def one_doc(html) -> tuple[int, dict[str, list]]:
+        """Per-document column lists (everything except url)."""
+        doc = parse_document(html)
+        order = doc.order
+        if elements_only:
+            nt = doc.node_type
+            nids = [n for n in order if nt[n] == ELEMENT_NODE]
+        else:
+            nids = order
+        d: dict[str, list] = {}
+        if "node_id" in want:
+            d["node_id"] = nids
+        if "parent_id" in want:
+            par = doc.parent
+            d["parent_id"] = [par[n] if par[n] != -1 else None for n in nids]
+        if "ord" in want:
+            pos = doc.order_pos
+            d["ord"] = [pos[n] for n in nids]
+        if "subtree_end" in want:
+            end = doc.subtree_end
+            d["subtree_end"] = [end[n] for n in nids]
+        if "depth" in want:
+            # depth needs every ancestor; pre-order guarantees a
+            # parent is filled before its children, so a flat
+            # list (no dict hashing) suffices
+            par = doc.parent
+            depth = [0] * len(par)
+            for n in order:
+                p = par[n]
+                depth[n] = depth[p] + 1 if p != -1 else 0
+            d["depth"] = [depth[n] for n in nids]
+        if "tag" in want:
+            tag = doc.tag
+            d["tag"] = [tag[n] for n in nids]
+        if "ns" in want:
+            ns = doc.ns
+            d["ns"] = [ns[n] for n in nids]
+        if "node_type" in want:
+            nt = doc.node_type
+            d["node_type"] = [nt[n] for n in nids]
+        if "path" in want:
+            # root-to-node tag chain ('html>body>div'); like
+            # depth, pre-order fills parents first.  The
+            # site-template detector groups on this column.
+            par = doc.parent
+            tag = doc.tag
+            nt2 = doc.node_type
+            paths = [""] * len(par)
+            for n in order:
+                if nt2[n] != ELEMENT_NODE:
+                    continue
+                p = par[n]
+                paths[n] = (paths[p] + ">" + tag[n]
+                            if p != -1 and paths[p] else tag[n])
+            d["path"] = [paths[n] if nt2[n] == ELEMENT_NODE else None
+                         for n in nids]
+        if "text" in want:
+            text = doc.text
+            d["text"] = [text[n] for n in nids]
+        if "attrs" in want:
+            attrs = doc.attrs
+            d["attrs"] = [attrs[n] for n in nids]
+        if "self_closed" in want:
+            sc = doc.self_closed
+            d["self_closed"] = [bool(sc[n]) for n in nids]
+        if "raw_begin" in want:
+            rb = doc.raw_begin
+            d["raw_begin"] = [rb[n] for n in nids]
+        if "raw_length" in want:
+            rl = doc.raw_length
+            d["raw_length"] = [rl[n] for n in nids]
+        if "elem_begin" in want:
+            eb = doc.elem_begin
+            d["elem_begin"] = [eb[n] for n in nids]
+        if "elem_length" in want:
+            el = doc.elem_length
+            d["elem_length"] = [el[n] for n in nids]
+        return len(nids), d
+
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             data: dict[str, list] = {c: [] for c in keep}
+            # batch-local exact-duplicate collapse (see extract_pages):
+            # the node table of a document is a pure function of its
+            # html bytes, so each distinct document is parsed and
+            # column-built once per batch; replicas pay one C-level
+            # list extend per column
+            memo: dict = {}
             for url, html in zip(pdf["url"], pdf["html"]):
-                doc = parse_document(html)
-                order = doc.order
-                if elements_only:
-                    nt = doc.node_type
-                    nids = [n for n in order if nt[n] == ELEMENT_NODE]
-                else:
-                    nids = order
+                hit = memo.get(html)
+                if hit is None:
+                    hit = one_doc(html)
+                    memo[html] = hit
+                n, d = hit
                 if "url" in want:
-                    data["url"].extend([url] * len(nids))
-                if "node_id" in want:
-                    data["node_id"].extend(nids)
-                if "parent_id" in want:
-                    par = doc.parent
-                    data["parent_id"].extend(
-                        par[n] if par[n] != -1 else None for n in nids)
-                if "ord" in want:
-                    pos = doc.order_pos
-                    data["ord"].extend(pos[n] for n in nids)
-                if "subtree_end" in want:
-                    end = doc.subtree_end
-                    data["subtree_end"].extend(end[n] for n in nids)
-                if "depth" in want:
-                    # depth needs every ancestor; pre-order guarantees a
-                    # parent is filled before its children, so a flat
-                    # list (no dict hashing) suffices
-                    par = doc.parent
-                    depth = [0] * len(par)
-                    for n in order:
-                        p = par[n]
-                        depth[n] = depth[p] + 1 if p != -1 else 0
-                    data["depth"].extend(depth[n] for n in nids)
-                if "tag" in want:
-                    tag = doc.tag
-                    data["tag"].extend(tag[n] for n in nids)
-                if "ns" in want:
-                    ns = doc.ns
-                    data["ns"].extend(ns[n] for n in nids)
-                if "node_type" in want:
-                    nt = doc.node_type
-                    data["node_type"].extend(nt[n] for n in nids)
-                if "path" in want:
-                    # root-to-node tag chain ('html>body>div'); like
-                    # depth, pre-order fills parents first.  The
-                    # site-template detector groups on this column.
-                    par = doc.parent
-                    tag = doc.tag
-                    nt2 = doc.node_type
-                    paths = [""] * len(par)
-                    for n in order:
-                        if nt2[n] != ELEMENT_NODE:
-                            continue
-                        p = par[n]
-                        paths[n] = (paths[p] + ">" + tag[n]
-                                    if p != -1 and paths[p] else tag[n])
-                    data["path"].extend(
-                        paths[n] if nt2[n] == ELEMENT_NODE else None
-                        for n in nids)
-                if "text" in want:
-                    text = doc.text
-                    data["text"].extend(text[n] for n in nids)
-                if "attrs" in want:
-                    attrs = doc.attrs
-                    data["attrs"].extend(attrs[n] for n in nids)
-                if "self_closed" in want:
-                    sc = doc.self_closed
-                    data["self_closed"].extend(bool(sc[n]) for n in nids)
-                if "raw_begin" in want:
-                    rb = doc.raw_begin
-                    data["raw_begin"].extend(rb[n] for n in nids)
-                if "raw_length" in want:
-                    rl = doc.raw_length
-                    data["raw_length"].extend(rl[n] for n in nids)
-                if "elem_begin" in want:
-                    eb = doc.elem_begin
-                    data["elem_begin"].extend(eb[n] for n in nids)
-                if "elem_length" in want:
-                    el = doc.elem_length
-                    data["elem_length"].extend(el[n] for n in nids)
+                    data["url"].extend([url] * n)
+                for c in doc_cols:
+                    data[c].extend(d[c])
             yield pd.DataFrame(data, columns=keep)
 
     return df.select("url", "html").mapInPandas(run, schema=schema)

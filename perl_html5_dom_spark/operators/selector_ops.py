@@ -131,12 +131,21 @@ def css_find(df, selector: str, first: bool = False):
         cols = ["url", "node_id", "ord", "tag", "begin", "length"]
         for pdf in batches:
             rows = []
+            # batch-local exact-duplicate collapse (see extract_pages):
+            # matches are a pure function of the html bytes, so each
+            # distinct document is parsed+matched once per batch
+            memo: dict = {}
             for url, html in zip(pdf["url"], pdf["html"]):
-                doc = parse_document(html)
-                pos = doc.order_pos
-                for nid in matcher.find(doc, compiled, first=first):
-                    rows.append((url, nid, pos[nid], doc.tag[nid],
-                                 doc.elem_begin[nid], doc.elem_length[nid]))
+                hit = memo.get(html)
+                if hit is None:
+                    doc = parse_document(html)
+                    pos = doc.order_pos
+                    hit = [
+                        (nid, pos[nid], doc.tag[nid],
+                         doc.elem_begin[nid], doc.elem_length[nid])
+                        for nid in matcher.find(doc, compiled, first=first)]
+                    memo[html] = hit
+                rows.extend((url,) + t for t in hit)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("url", "html").mapInPandas(run, schema=MATCHES_SCHEMA)
@@ -167,22 +176,28 @@ def css_extract(df, selector: str, what: str = "text"):
         cols = ["url", "node_id", "ord", "value"]
         for pdf in batches:
             rows = []
+            memo: dict = {}   # batch-local exact-dup collapse (see css_find)
             for url, html in zip(pdf["url"], pdf["html"]):
-                doc = parse_document(html)
-                pos = doc.order_pos
-                for nid in matcher.find(doc, compiled):
-                    if attr_name is not None:
-                        a = doc.attrs[nid]
-                        v = a.get(attr_name) if a else None
-                    elif what == "text":
-                        v = serializer.text_content(doc, nid)
-                    elif what == "html":
-                        v = serializer.serialize(doc, nid)
-                    elif what == "inner_html":
-                        v = serializer.serialize(doc, nid, inner=True)
-                    else:
-                        v = innertext.inner_text(doc, nid)
-                    rows.append((url, nid, pos[nid], v))
+                hit = memo.get(html)
+                if hit is None:
+                    doc = parse_document(html)
+                    pos = doc.order_pos
+                    hit = []
+                    for nid in matcher.find(doc, compiled):
+                        if attr_name is not None:
+                            a = doc.attrs[nid]
+                            v = a.get(attr_name) if a else None
+                        elif what == "text":
+                            v = serializer.text_content(doc, nid)
+                        elif what == "html":
+                            v = serializer.serialize(doc, nid)
+                        elif what == "inner_html":
+                            v = serializer.serialize(doc, nid, inner=True)
+                        else:
+                            v = innertext.inner_text(doc, nid)
+                        hit.append((nid, pos[nid], v))
+                    memo[html] = hit
+                rows.extend((url,) + t for t in hit)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select("url", "html").mapInPandas(
@@ -213,25 +228,31 @@ def css_extract_multi(df, selector: str, whats: tuple = ("text",)):
         cols = ["url", "node_id", "ord"] + colnames
         for pdf in batches:
             rows = []
+            memo: dict = {}   # batch-local exact-dup collapse (see css_find)
             for url, html in zip(pdf["url"], pdf["html"]):
-                doc = parse_document(html)
-                pos = doc.order_pos
-                for nid in matcher.find(doc, compiled):
-                    vals = []
-                    for what in whats:
-                        if what.startswith("attr:"):
-                            a = doc.attrs[nid]
-                            vals.append(a.get(what[5:]) if a else None)
-                        elif what == "text":
-                            vals.append(serializer.text_content(doc, nid))
-                        elif what == "html":
-                            vals.append(serializer.serialize(doc, nid))
-                        elif what == "inner_html":
-                            vals.append(serializer.serialize(
-                                doc, nid, inner=True))
-                        else:
-                            vals.append(innertext.inner_text(doc, nid))
-                    rows.append((url, nid, pos[nid], *vals))
+                hit = memo.get(html)
+                if hit is None:
+                    doc = parse_document(html)
+                    pos = doc.order_pos
+                    hit = []
+                    for nid in matcher.find(doc, compiled):
+                        vals = []
+                        for what in whats:
+                            if what.startswith("attr:"):
+                                a = doc.attrs[nid]
+                                vals.append(a.get(what[5:]) if a else None)
+                            elif what == "text":
+                                vals.append(serializer.text_content(doc, nid))
+                            elif what == "html":
+                                vals.append(serializer.serialize(doc, nid))
+                            elif what == "inner_html":
+                                vals.append(serializer.serialize(
+                                    doc, nid, inner=True))
+                            else:
+                                vals.append(innertext.inner_text(doc, nid))
+                        hit.append((nid, pos[nid], *vals))
+                    memo[html] = hit
+                rows.extend((url,) + t for t in hit)
             yield pd.DataFrame(rows, columns=cols)
 
     schema = ("url string, node_id bigint, ord bigint, "

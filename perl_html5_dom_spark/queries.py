@@ -1207,9 +1207,13 @@ def q_webtext_pipeline(spark, sf_dir):
     ).unionAll(
         docs.where("doc_id % 3 = 0")
         .selectExpr("doc_id + 200000 as doc_id", "text || ' zz yy xx' as text"))
-    kept = corpus.join(
+    # materialized: kept feeds THREE passes (the minhash collapse
+    # probe, the shingle explode, and the final anti-join/split) —
+    # unmaterialized, each pass re-runs the union + quality join
+    # (round-6 guide §5 "caching is worth it when reused")
+    kept = dd._materialize(corpus.join(
         ts.quality_scores(corpus).where("quality >= 0.75")
-        .select("doc_id"), "doc_id")
+        .select("doc_id"), "doc_id"))
     pairs = dd.minhash_near_dups(kept, threshold=0.5)
     # losers = pair-members that are not their cluster's min id; docs in
     # no pair are trivially canonical, so labeling the pair subgraph
@@ -1242,8 +1246,10 @@ def q_ngram_repetition(spark, sf_dir):
     """Gopher within-document n-gram repetition rules (Rae et al. 2021
     A1.1): top-{2,3,4}-gram char fraction + duplicated-{5..10}-gram
     char fraction + the published keep conjunction.  Spark side is a
-    zero-shuffle sorted-run fold per document (textstats._rep_fold);
-    the DuckDB twin re-derives the same fractions RELATIONALLY
+    zero-shuffle Arrow Counter kernel emitting integer counts, with
+    the float fractions computed in SQL (round-6 optimization; the
+    sorted-run fold textstats._rep_fold is kept as the differential
+    twin); the DuckDB twin re-derives the same fractions RELATIONALLY
     (unnest n-grams -> group by -> row_number argmax / filtered sum),
     so the two engines share no code path at all."""
     return ts.ngram_repetition(_docs(spark, sf_dir))

@@ -439,3 +439,47 @@ def test_token_logfreq_hand_computed(spark):
     # doc 3: split('', ' ') -> [''] one empty token; '' occurs once in
     # the corpus -> bucket 0 -> score 0
     assert (rows[3]["n_tok"], rows[3]["logfreq_permille"]) == (1, 0)
+
+
+def test_ngram_repetition_matches_sql_fold(spark, docs):
+    """Round-6: the Arrow Counter kernel must be BIT-identical to the
+    whole-stage-codegen sorted-run fold it replaced — ``_rep_fold``
+    stays in the module as the differential twin this test runs."""
+    from perl_html5_dom_spark.operators import textstats as ts
+
+    def fold_impl(d, text_col="text"):
+        tops = {n: ts._rep_fold(n) for n in ts.GOPHER_TOP_NGRAM_MAX}
+        dups = {n: ts._rep_fold(n) for n in ts.GOPHER_DUP_NGRAM_MAX}
+        top_cols = [
+            f"round(if(tc = 0, 0.0, _r{n}.bc * _r{n}.bl / tc), 6) "
+            f"as top{n}_frac" for n in sorted(tops)]
+        dup_cols = [
+            f"round(if(tc = 0, 0.0, least(1.0, _r{n}.dup / tc)), 6) "
+            f"as dup{n}_frac" for n in sorted(dups)]
+        keep = " and ".join(
+            [f"top{n}_frac < {v}"
+             for n, v in sorted(ts.GOPHER_TOP_NGRAM_MAX.items())]
+            + [f"dup{n}_frac < {v}"
+               for n, v in sorted(ts.GOPHER_DUP_NGRAM_MAX.items())])
+        return (
+            d.selectExpr("doc_id", f"split({text_col}, ' ') as t")
+            .selectExpr("doc_id", "t",
+                        "cast(length(concat_ws(' ', t)) as bigint) as tc")
+            .selectExpr("doc_id", "tc",
+                        *[f"{e} as _r{n}" for n, e in sorted(tops.items())],
+                        *[f"{e} as _r{n}" for n, e in sorted(dups.items())])
+            .selectExpr("doc_id", *top_cols, *dup_cols)
+            .selectExpr("*", f"{keep} as keep_rep"))
+
+    edge = spark.createDataFrame(
+        [(9000001, ""), (9000002, "solo"), (9000003, None),
+         (9000004, "x y x y x y x y"),
+         (9000005, "a a a a a a a a a a a a"),
+         (9000006, "one two three one two three one two three"),
+         (9000007, "  double  spaces  keep  empties  ")],
+        "doc_id long, text string")
+    sample = docs.select("doc_id", "text").limit(60).unionAll(edge)
+    want = {r["doc_id"]: r.asDict() for r in fold_impl(sample).collect()}
+    got = {r["doc_id"]: r.asDict()
+           for r in ts.ngram_repetition(sample).collect()}
+    assert got == want
