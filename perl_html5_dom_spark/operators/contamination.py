@@ -68,7 +68,19 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, n: int = 5,
 
     docs: (doc_id, text); bench: (bench_id, bench_text).  The bench
     n-gram table and its per-item sizes broadcast; matching is map-side
-    against the big scan, and only hit pairs shuffle."""
+    against the big scan, and only hit pairs shuffle.
+
+    The document side is spread to the session's parallelism when the
+    input arrives with fewer partitions (a single-row-group parquet
+    file scans as ONE task, serializing the whole shingle+hash pass on
+    one core — the read_docs rationale); inputs already at or above
+    core count pass through untouched, so no shuffle is added at
+    scale."""
+    docs = docs.select("doc_id", "text")
+    n_parts = docs.rdd.getNumPartitions()
+    want_parts = docs.sparkSession.sparkContext.defaultParallelism
+    if n_parts < want_parts:
+        docs = docs.repartition(want_parts)
     bsh = _shingles(
         bench.selectExpr("bench_id as doc_id", "bench_text as text"), k=n,
     ).selectExpr("doc_id as bench_id", f"{H('shingle')} as h")

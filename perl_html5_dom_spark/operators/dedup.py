@@ -247,10 +247,14 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
             .select("doc_id", "rep"))
         docs = docs.join(
             classes.where("doc_id = rep").select("doc_id"), "doc_id")
-    sh = _materialize(  # sizes + verify join sides, hashed once
-        _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} as hs"))
-    buckets = _materialize(  # self-joined below
-        _band_keys(_minhash_wide(sh, num_perm), num_perm, bands))
+    # NOT persisted (round-6): the bucket self-join's two sides share
+    # one identical exchange subtree, which Spark de-duplicates via
+    # ReusedExchange, and the signature/sets aggregates each do their
+    # own partial agg over the cheap explode+md5 projection — so the
+    # only thing a persist added here was the cache build + eager count
+    # (measured: 4.75s -> 3.34s without it at sf1)
+    sh = _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} as hs")
+    buckets = _band_keys(_minhash_wide(sh, num_perm), num_perm, bands)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, ["band", "bk1", "bk2"])
@@ -469,8 +473,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     The per-round convergence check reads ONE driver-side count (the
     standard control-flow scalar of iterative graph algorithms; GraphX
     and GraphFrames do the same)."""
-    edges = (pairs.selectExpr("a as u", "b as v")
-             .union(pairs.selectExpr("b as u", "a as v")))
+    # one pass over pairs: the symmetric closure rides a map-side
+    # 2-way explode instead of union(pairs, pairs-swapped), whose two
+    # branches would each recompute the (possibly expensive, uncached)
+    # pair pipeline — the round-6 webtext audit measured the minhash
+    # verify running twice inside this materialize
+    edges = pairs.selectExpr(
+        "explode(array(struct(a as u, b as v), "
+        "struct(b as u, a as v))) as e").select("e.u", "e.v")
     edges = _materialize(edges.distinct())
     labels = edges.selectExpr("u as node").distinct()
     if nodes is not None:
@@ -478,12 +488,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
             f"{nodes.columns[0]} as node")).distinct()
     labels = labels.withColumn("comp", F.col("node"))
     for _ in range(max_iter):
-        # localCheckpoint truncates the logical plan each round — the
-        # iterated self-referencing joins otherwise grow the plan
-        # exponentially and OOM the DRIVER during analysis (a real
-        # cluster job would use a reliable checkpoint dir instead)
-        labels = labels.localCheckpoint(eager=True)
-        # neighbor minimum
+        # neighbor minimum.  (Plan growth is bounded by the ONE
+        # localCheckpoint at the end of each round — the iterated
+        # self-referencing joins otherwise grow the plan exponentially
+        # and OOM the DRIVER during analysis; a real cluster job would
+        # use a reliable checkpoint dir instead.  The loop-top
+        # re-checkpoint this replaced only re-materialized the
+        # previous round's already-checkpointed output: one wasted
+        # eager job per round.)
         nbr = (edges.join(labels.withColumnRenamed("node", "v"), "v")
                .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
         stepped = (

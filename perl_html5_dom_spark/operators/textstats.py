@@ -48,20 +48,75 @@ def lang_id(docs: DataFrame) -> DataFrame:
         "doc_id", f"{pick} as lang_pred", f"cast({best} as bigint) as lang_hits")
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     alpha_ratio, quality): length/stopword/character-class heuristics,
-    the standard cheap quality filters for web text."""
-    toks = tokens_expr()
-    stop = _marker_hits_expr("en")
-    return docs.selectExpr(
+    the standard cheap quality filters for web text.
+
+    ``carry`` names extra input columns to pass through (the
+    corpus_split pattern): a pipeline that filters on ``quality`` then
+    needs NO id-join back to the text — the webtext capstone saves a
+    full corpus recompute plus the join exchange this way.
+
+    Round-6 shape: the per-document counting (char/token/stopword/
+    alpha counts — all INTEGERS) runs as an Arrow kernel; the previous
+    all-SQL form evaluated ``split()`` four times per row plus an
+    interpreted HigherOrderFunction ``filter`` for the stopword hits
+    (Catalyst does not codegen lambda functions).  Every division and
+    ``round`` stays in the SAME SQL expressions over the integer
+    columns, so the floats — and the DuckDB oracle hash — are
+    bit-identical (same pattern as :func:`ngram_repetition`)."""
+    markers = set(LANG_MARKERS["en"])
+    carry = tuple(carry)
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        non_alpha = re.compile("[^a-zA-Z]+")
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_chars": [], "n_tokens": [],
+                "stop_hits": [], "alpha_chars": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(did)
+                if text is None:
+                    # mirrors SQL null semantics: length(null) = null,
+                    # size(split(null)) = null, hits over null = null
+                    out["n_chars"].append(None)
+                    out["n_tokens"].append(None)
+                    out["stop_hits"].append(None)
+                    out["alpha_chars"].append(None)
+                    continue
+                t = text.split(" ")
+                out["n_chars"].append(len(text))
+                out["n_tokens"].append(len(t))
+                out["stop_hits"].append(
+                    sum(1 for w in t if w in markers))
+                out["alpha_chars"].append(
+                    len(text) - sum(len(m.group())
+                                    for m in non_alpha.finditer(text)))
+            df = pd.DataFrame(out)
+            for c in carry:
+                df[c] = pdf[c].values
+            yield df
+
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    carry_schema = "".join(f", {c} {types[c]}" for c in carry)
+    in_cols = ["doc_id", "text"] + [c for c in carry
+                                    if c not in ("doc_id", "text")]
+    kern = docs.select(*in_cols).mapInPandas(
+        run, schema="doc_id bigint, n_chars bigint, n_tokens bigint, "
+                    "stop_hits bigint, alpha_chars bigint" + carry_schema)
+    return kern.selectExpr(
         "doc_id",
-        "cast(length(text) as bigint) as n_chars",
-        f"cast(size({toks}) as bigint) as n_tokens",
-        f"round((length(text) - size({toks}) + 1) / size({toks}), 6) as avg_token_len",
-        f"round({stop} / size({toks}), 6) as stopword_ratio",
-        "round(length(regexp_replace(text, '[^a-zA-Z]', '')) / length(text), 6)"
-        " as alpha_ratio",
+        "n_chars",
+        "n_tokens",
+        "round((n_chars - n_tokens + 1) / n_tokens, 6) as avg_token_len",
+        "round(stop_hits / n_tokens, 6) as stopword_ratio",
+        "round(alpha_chars / n_chars, 6) as alpha_ratio",
+        *carry,
     ).selectExpr(
         "*",
         # composite score in [0,1]: enough tokens, sane token length,

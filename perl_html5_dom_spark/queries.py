@@ -1209,11 +1209,13 @@ def q_webtext_pipeline(spark, sf_dir):
         .selectExpr("doc_id + 200000 as doc_id", "text || ' zz yy xx' as text"))
     # materialized: kept feeds THREE passes (the minhash collapse
     # probe, the shingle explode, and the final anti-join/split) —
-    # unmaterialized, each pass re-runs the union + quality join
-    # (round-6 guide §5 "caching is worth it when reused")
-    kept = dd._materialize(corpus.join(
-        ts.quality_scores(corpus).where("quality >= 0.75")
-        .select("doc_id"), "doc_id"))
+    # unmaterialized, each pass re-runs the quality filter (round-6
+    # guide §5 "caching is worth it when reused").  The text rides
+    # quality_scores' carry passthrough, so the filter needs no
+    # id-join back to the corpus (doc_id is unique: identical rows)
+    kept = dd._materialize(
+        ts.quality_scores(corpus, carry=("text",))
+        .where("quality >= 0.75").select("doc_id", "text"))
     pairs = dd.minhash_near_dups(kept, threshold=0.5)
     # losers = pair-members that are not their cluster's min id; docs in
     # no pair are trivially canonical, so labeling the pair subgraph

@@ -483,3 +483,44 @@ def test_ngram_repetition_matches_sql_fold(spark, docs):
     got = {r["doc_id"]: r.asDict()
            for r in ts.ngram_repetition(sample).collect()}
     assert got == want
+
+
+def test_quality_scores_matches_sql_form(spark, docs):
+    """Round-6: the integer-counting Arrow kernel must be BIT-identical
+    to the all-SQL projection it replaced (kept here as the twin)."""
+    from perl_html5_dom_spark.operators import textstats as ts
+
+    def sql_impl(d):
+        toks = ts.tokens_expr()
+        stop = ts._marker_hits_expr("en")
+        return d.selectExpr(
+            "doc_id",
+            "cast(length(text) as bigint) as n_chars",
+            f"cast(size({toks}) as bigint) as n_tokens",
+            f"round((length(text) - size({toks}) + 1) / size({toks}), 6) "
+            "as avg_token_len",
+            f"round({stop} / size({toks}), 6) as stopword_ratio",
+            "round(length(regexp_replace(text, '[^a-zA-Z]', '')) / "
+            "length(text), 6) as alpha_ratio",
+        ).selectExpr(
+            "*",
+            "floor((least(n_tokens / 20.0, 1.0) * 0.25 "
+            "+ (case when avg_token_len between 2 and 12 then 0.25 "
+            "else 0.0 end) "
+            "+ least(stopword_ratio * 5.0, 1.0) * 0.25 "
+            "+ alpha_ratio * 0.25) * 1000000 + 0.5) / 1000000 as quality",
+        )
+
+    # NOTE: no empty-string doc — length(text) = 0 raises
+    # DIVIDE_BY_ZERO under ANSI in BOTH forms (the alpha_ratio
+    # division), identically; collect cannot compare raised errors
+    edge = spark.createDataFrame(
+        [(9100002, "the"), (9100003, None),
+         (9100004, "the and of to a"), (9100005, "12345 !!! ###"),
+         (9100006, "  padded  with  spaces  ")],
+        "doc_id long, text string")
+    sample = docs.select("doc_id", "text").limit(60).unionAll(edge)
+    want = {r["doc_id"]: r.asDict() for r in sql_impl(sample).collect()}
+    got = {r["doc_id"]: r.asDict()
+           for r in ts.quality_scores(sample).collect()}
+    assert got == want

@@ -5,6 +5,8 @@ Marked via the shared session fixture (conftest.py); pure-engine tests
 live in the other test modules and never start Spark.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -364,26 +366,59 @@ def test_css_extract_multi_rejects_bad_sink(spark):
 
 def test_bucketed_join_avoids_shuffle(spark, pages, tmp_path):
     """Two url-bucketed tables equi-join with NO Exchange on either
-    side — the co-location contract plans.bucketing promises."""
+    side — the co-location contract plans.bucketing promises.
+
+    Idempotency across crashed sessions (VERDICT r5 #1): per-run
+    UNIQUE table names, so a killed run's orphaned
+    ``spark-warehouse/<table>/`` dir can never collide with a later
+    run (LOCATION_ALREADY_EXISTS), plus a best-effort cleanup of any
+    stale location before writing."""
+    import shutil
+    import uuid
+
     from perl_html5_dom_spark.plans.bucketing import (
         bucketed_join_is_shuffle_free, write_bucketed)
 
-    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    run_id = uuid.uuid4().hex[:12]
+    name_a, name_b = f"t_bucket_a_{run_id}", f"t_bucket_b_{run_id}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        for name in (name_a, name_b):
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         a = pages.limit(60).selectExpr("url", "length(html) as n")
         b = pages.limit(60).selectExpr("url", "url as u2")
-        write_bucketed(a, "t_bucket_a", buckets=8)
-        write_bucketed(b, "t_bucket_b", buckets=8)
-        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        write_bucketed(a, name_a, buckets=8)
+        write_bucketed(b, name_b, buckets=8)
+        ta, tb = spark.table(name_a), spark.table(name_b)
         assert bucketed_join_is_shuffle_free(ta, tb)
         assert ta.join(tb, "url").count() == 60
         # the same join on unbucketed frames DOES shuffle (control)
         assert not bucketed_join_is_shuffle_free(a, b)
     finally:
-        spark.sql("drop table if exists t_bucket_a")
-        spark.sql("drop table if exists t_bucket_b")
+        for name in (name_a, name_b):
+            spark.sql(f"drop table if exists {name}")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_join_survives_prepolluted_warehouse(spark, pages):
+    """Regression for VERDICT r5 #1: a stale warehouse dir left by a
+    killed session (directory on disk, NO catalog entry) must not fail
+    subsequent runs.  With per-run unique names the stale dir is simply
+    never touched."""
+    import shutil
+    import uuid
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").replace("file:", "")
+    stale = os.path.join(warehouse, "t_bucket_a")
+    os.makedirs(os.path.join(stale, "orphan"), exist_ok=True)
+    try:
+        test_bucketed_join_avoids_shuffle(spark, pages, None)
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def test_crawl_rate_stream_windows(spark, tmp_path):
