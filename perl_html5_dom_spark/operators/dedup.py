@@ -482,11 +482,21 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
         "explode(array(struct(a as u, b as v), "
         "struct(b as u, a as v))) as e").select("e.u", "e.v")
     edges = _materialize(edges.distinct())
-    labels = edges.selectExpr("u as node").distinct()
+    # initial labels already carry round 0's neighbor minimum: comp =
+    # least(self, min neighbor) falls out of ONE groupBy over edges
+    # (which also de-duplicates nodes), replacing the old distinct +
+    # first full join round — any correct intermediate state of
+    # min-label propagation converges to the same fixpoint, so the
+    # output is unchanged
+    labels = (edges.groupBy("u").agg(F.min("v").alias("m"))
+              .selectExpr("u as node", "least(u, m) as comp"))
     if nodes is not None:
-        labels = labels.union(nodes.selectExpr(
-            f"{nodes.columns[0]} as node")).distinct()
-    labels = labels.withColumn("comp", F.col("node"))
+        # isolated ids (never in a pair): comp = own id is their
+        # fixpoint; left_anti keeps the edge nodes' head start
+        iso = (nodes.selectExpr(f"{nodes.columns[0]} as node").distinct()
+               .join(labels.select("node"), "node", "left_anti")
+               .withColumn("comp", F.col("node")))
+        labels = labels.unionByName(iso)
     for _ in range(max_iter):
         # neighbor minimum.  (Plan growth is bounded by the ONE
         # localCheckpoint at the end of each round — the iterated

@@ -35,6 +35,14 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
         emb.filter(F.col("vec_id").isin(query_ids))
         .selectExpr("vec_id as query_id", "embedding as qv")
     )
+    # the broadcast join + cosine projection run MAP-SIDE in the scan
+    # tasks — a single-row-group parquet input would put every dot
+    # product on one core (read_docs rationale); spread it when the
+    # input arrives below the session parallelism, pass through at scale
+    n_parts = emb.rdd.getNumPartitions()
+    want = emb.sparkSession.sparkContext.defaultParallelism
+    if n_parts < want:
+        emb = emb.repartition(want)
     scored = (
         emb.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -1216,7 +1216,12 @@ def q_webtext_pipeline(spark, sf_dir):
     kept = dd._materialize(
         ts.quality_scores(corpus, carry=("text",))
         .where("quality >= 0.75").select("doc_id", "text"))
-    pairs = dd.minhash_near_dups(kept, threshold=0.5)
+    # collapse_exact pinned: the kept corpus is ~15% exact dups by
+    # construction (nd/n ~ 0.85 > the 0.8 probe threshold at every
+    # sf), so the adaptive probe always lands here — pinning skips
+    # its extra aggregation pass; either path is bit-identical
+    pairs = dd.minhash_near_dups(kept, threshold=0.5,
+                                 collapse_exact=False)
     # losers = pair-members that are not their cluster's min id; docs in
     # no pair are trivially canonical, so labeling the pair subgraph
     # alone is equivalent to dedup_keep over the full corpus
