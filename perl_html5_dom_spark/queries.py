@@ -1198,24 +1198,32 @@ def q_webtext_pipeline(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     ext = ex.extract_pages(pages, span_selector=None,
                            fields=["url", "main_text"])
-    docs = dd._materialize(ext.selectExpr(
+    # parquet-checkpointed, not persisted (round 6): docs feeds the
+    # 3-branch dup fan-out and kept feeds the shingle, signature, sets
+    # and anti-join passes — repeated scans of a deserialized
+    # InMemoryRelation cost ~3x a vectorized parquet read (the
+    # bench.py corpus-checkpoint rationale; measured 12.4s -> 7.4s
+    # end-to-end).  One kernel parse still feeds every stage — it runs
+    # exactly once, into the checkpoint write.
+    docs = ut.checkpoint_parquet(ext.selectExpr(
         "cast(substring_index(url, '/', -1) as bigint) as doc_id",
-        "main_text as text"))            # feeds 3 branches + 2 joins
+        "main_text as text"), "webtext_docs")
     corpus = docs.unionAll(
         docs.where("doc_id % 5 = 0")
         .selectExpr("doc_id + 100000 as doc_id", "text")
     ).unionAll(
         docs.where("doc_id % 3 = 0")
         .selectExpr("doc_id + 200000 as doc_id", "text || ' zz yy xx' as text"))
-    # materialized: kept feeds THREE passes (the minhash collapse
-    # probe, the shingle explode, and the final anti-join/split) —
-    # unmaterialized, each pass re-runs the quality filter (round-6
-    # guide §5 "caching is worth it when reused").  The text rides
-    # quality_scores' carry passthrough, so the filter needs no
-    # id-join back to the corpus (doc_id is unique: identical rows)
-    kept = dd._materialize(
+    # checkpointed: kept feeds FOUR passes (shingle explode, signature
+    # aggregate, verify sets, final anti-join/split) — unmaterialized,
+    # each pass re-runs the quality filter (guide §5 "caching is worth
+    # it when reused").  The text rides quality_scores' carry
+    # passthrough, so the filter needs no id-join back to the corpus
+    # (doc_id is unique: identical rows)
+    kept = ut.checkpoint_parquet(
         ts.quality_scores(corpus, carry=("text",))
-        .where("quality >= 0.75").select("doc_id", "text"))
+        .where("quality >= 0.75").select("doc_id", "text"),
+        "webtext_kept")
     # collapse_exact pinned: the kept corpus is ~15% exact dups by
     # construction (nd/n ~ 0.85 > the 0.8 probe threshold at every
     # sf), so the adaptive probe always lands here — pinning skips

@@ -57,3 +57,24 @@ def sql_over(builder: Callable[..., str], *dfs: DataFrame,
     finally:
         for n in names:
             spark.catalog.dropTempView(n)
+
+
+def checkpoint_parquet(df: DataFrame, prefix: str = "ckpt") -> DataFrame:
+    """Materialize ``df`` to a fresh session-temp parquet dir and read
+    it back — the intra-query intermediate for frames that several
+    later stages SCAN repeatedly.
+
+    Rationale (round 6, measured): a ``persist()`` stores deserialized
+    InMemoryRelation batches whose repeated scans cost ~3x a
+    vectorized parquet read on this engine (the bench.py corpus
+    checkpoint documents the same); swapping the webtext pipeline's
+    two persists for parquet round-trips took the capstone from
+    12.4 s to 7.4 s at sf1.  A fresh ``mkdtemp`` per call means
+    nothing is ever reused across invocations — every run recomputes
+    from its own inputs (this is plan truncation, not result caching).
+    At 100 TB the analog is a reliable checkpoint/staging table."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_") + "/data"
+    df.write.parquet(path)
+    return df.sparkSession.read.parquet(path)
