@@ -202,12 +202,64 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
     )
 
 
+def _doc_minhash_sets(docs: DataFrame, num_perm: int, k: int) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}, hset): per-document minhash signature AND
+    the distinct 60-bit shingle-hash array, in ONE zero-shuffle Arrow
+    kernel pass — both are pure per-document functions of the shingle
+    set, so nothing needs an exchange (the declarative form paid the
+    shingle explode plus two aggregate exchanges for the same rows).
+
+    Bit-exact twin of ``_minhash_wide(_shingles(docs,k) hashed)`` +
+    ``collect_set(hs)``: same distinct shingle STRINGS (whole text
+    when < k tokens), same H() (first 15 md5 hex digits as int), same
+    (a·(h%P)+b)%P permutation mins — all integer arithmetic.  Null
+    text mirrors the SQL twin: its only hs is null, so mins are null
+    and the hash set is empty (collect_set drops nulls)."""
+    params = [perm_params(j) for j in range(num_perm)]
+    mh_cols = [f"mh{j}" for j in range(num_perm)]
+
+    def run(batches):
+        from hashlib import md5
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in
+                                    ["doc_id"] + mh_cols + ["hset"]}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(did)
+                if text is None:
+                    for c in mh_cols:
+                        out[c].append(None)
+                    out["hset"].append([])
+                    continue
+                t = text.split(" ")
+                if len(t) >= k:
+                    sh = {" ".join(t[i:i + k])
+                          for i in range(len(t) - k + 1)}
+                else:
+                    sh = {text}
+                hs = [int(md5(s.encode()).hexdigest()[:15], 16)
+                      for s in sh]
+                hp = [h % P for h in hs]
+                for (a, b), c in zip(params, mh_cols):
+                    out[c].append(min((a * h + b) % P for h in hp))
+                out["hset"].append(hs)
+            yield pd.DataFrame(out)
+
+    schema = ("doc_id bigint, "
+              + ", ".join(f"{c} bigint" for c in mh_cols)
+              + ", hset array<bigint>")
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
                       num_perm: int = 16, bands: int = 4, k: int = 3,
                       collapse_exact: bool | None = None) -> DataFrame:
     """LSH candidates → exact Jaccard verification (a, b, jaccard).
 
-    Round-5 scale shape, outside-in:
+    Round-5 scale shape (verify arrays + collapse), round-6 kernel
+    front (``_doc_minhash_sets``), outside-in:
 
     1. ADAPTIVE EXACT-DUP COLLAPSE.  Docs with identical text have
        identical shingle sets, hence identical signatures, band
@@ -224,11 +276,13 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
        low-dup corpus the class bookkeeping is pure overhead — so by
        default one cheap approx_count_distinct probe picks the path
        (``collapse_exact`` forces it either way).
-    2. One shingle explode feeds BOTH the signature build and the
-       verify (materialized once, already HASHED to 60-bit longs).
-    3. Signatures from the single-pass wide aggregate (_minhash_wide),
-       band keys from a pure projection; the only shuffles are the
-       signature groupBy, the bucket self-join, and the verify joins.
+    2. ONE Arrow kernel pass computes each doc's signature AND its
+       verify hash array (_doc_minhash_sets — both are per-document
+       functions, so the round-5 shingle explode and its two
+       aggregate exchanges are gone).
+    3. Band keys from a pure projection over the kernel output; the
+       only shuffles are the bucket self-join, the candidate
+       distinct, and the verify joins.
 
     Hash semantics are engine-mirrored: both sides take distinct
     shingle STRINGS per doc, then operate purely on H(shingle), so the
@@ -247,14 +301,16 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
             .select("doc_id", "rep"))
         docs = docs.join(
             classes.where("doc_id = rep").select("doc_id"), "doc_id")
-    # NOT persisted (round-6): the bucket self-join's two sides share
-    # one identical exchange subtree, which Spark de-duplicates via
-    # ReusedExchange, and the signature/sets aggregates each do their
-    # own partial agg over the cheap explode+md5 projection — so the
-    # only thing a persist added here was the cache build + eager count
-    # (measured: 4.75s -> 3.34s without it at sf1)
-    sh = _shingles(docs, k).selectExpr("doc_id", f"{H('shingle')} as hs")
-    buckets = _band_keys(_minhash_wide(sh, num_perm), num_perm, bands)
+    # Round-6: signatures AND verify hash-sets are PER-DOCUMENT
+    # functions of the shingle set, so one zero-shuffle Arrow kernel
+    # computes both — replacing the shingle explode (4M rows at sf1),
+    # the 16-min wide-aggregate exchange and the collect_set exchange
+    # with a single map pass (bit-exact: same H(), same % P perms, all
+    # integer; pinned by test_minhash_wide_sets_match_sql).  The small
+    # (doc_id, mh*, hset) table IS persisted: it feeds the bucket
+    # self-join and both verify sides.
+    wide = _materialize(_doc_minhash_sets(docs, num_perm, k))
+    buckets = _band_keys(wide, num_perm, bands)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, ["band", "bk1", "bk2"])
@@ -273,7 +329,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     # within a doc (distinct shingle strings under a 60-bit hash; a
     # within-doc collision would off-by-one the jaccard denominator,
     # p < 1e-10 per doc — the DuckDB oracle sees none at test scale).
-    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("hset"))
+    sets = wide.select("doc_id", "hset")
     rep_pairs = (
         cand.join(sets.selectExpr("doc_id as a", "hset as ha"), "a")
         .join(sets.selectExpr("doc_id as b", "hset as hb"), "b")
@@ -432,27 +488,71 @@ def duplicated_ngrams(docs: DataFrame, k: int = 8,
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): weighted-token sign fingerprint.
 
-    One groupBy with ``bits`` conditional-sum columns instead of a
-    bits× row fan-out: the per-bit sums ride the SAME partial
-    aggregation (map-side combine), so the shuffle carries one row per
-    (doc, token) — not 32."""
-    tok = docs.selectExpr("doc_id", f"explode({tokens_expr()}) as tok")
-    weighted = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    hashed = weighted.selectExpr("doc_id", "w", f"{H('tok')} as ht")
-    bit_sums = [
-        F.sum(F.expr(
-            f"case when shiftright(ht, {b}) % 2 = 1 then w else -w end"))
-        .alias(f"s{b}")
-        for b in range(bits)
-    ]
-    pieces = " + ".join(
-        f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
-        f"else cast(0 as bigint) end)"
-        for b in range(bits))
-    return (
-        hashed.groupBy("doc_id").agg(*bit_sums)
-        .selectExpr("doc_id", f"{pieces} as simhash")
-    )
+    Round-6 shape: the fingerprint is a PER-DOCUMENT function (token
+    counts × md5-derived sign vectors, all integer arithmetic), so it
+    runs as one zero-shuffle Arrow kernel — the previous declarative
+    form exploded the token stream and shuffled it twice (the
+    (doc, token) weight groupBy plus the per-doc sum groupBy: ~7.6M
+    narrow rows each at sf1) and computed one JVM md5 per distinct
+    (doc, token) pair.  The kernel batches the bit-sign sums through
+    numpy (one reduceat over the whole Arrow batch) and memoizes
+    token → hash per batch (Zipf: a batch's vocabulary is ~10× smaller
+    than its token stream).  Bit-exact vs the SQL form: the hash is
+    the same H() (first 15 md5 hex digits as int), weights are exact
+    counts, sums are integers, and ``bit set ⇔ sum > 0`` — pinned by
+    ``test_simhash_matches_sql_form``."""
+    bit_count = bits
+
+    def run(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bit_count, dtype=np.uint64)
+        mask = (1 << bit_count) - 1
+        for pdf in batches:
+            hmemo: dict = {}
+            ids, hs, ws, offs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # SQL twin: explode(split(null)) emits no token
+                    # rows, so the doc is absent from the aggregate
+                    continue
+                cnt: dict = {}
+                for t in text.split(" "):
+                    cnt[t] = cnt.get(t, 0) + 1
+                offs.append(len(hs))
+                ids.append(did)
+                for t, w in cnt.items():
+                    h = hmemo.get(t)
+                    if h is None:
+                        h = int(md5(t.encode()).hexdigest()[:15],
+                                16) & mask
+                        hmemo[t] = h
+                    hs.append(h)
+                    ws.append(w)
+            if not ids:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "simhash": pd.Series(dtype="int64")})
+                continue
+            # rows × bits sign contributions, summed per doc in one
+            # reduceat; rows are grouped per doc by construction and
+            # every doc has >= 1 row (split(' ') of non-null text is
+            # never empty), so every slice is non-empty
+            h_arr = np.array(hs, dtype=np.uint64)
+            w_arr = np.array(ws, dtype=np.int64)
+            bits_m = ((h_arr[:, None] >> shifts) & np.uint64(1)
+                      ).astype(np.int64)
+            contrib = (2 * bits_m - 1) * w_arr[:, None]
+            sums = np.add.reduceat(
+                contrib, np.array(offs, dtype=np.int64), axis=0)
+            sim = ((sums > 0).astype(np.uint64)
+                   << shifts[None, :]).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sim})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, simhash bigint")
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,

@@ -71,7 +71,15 @@ def pagerank(edges: DataFrame, iters: int = 5,
     """(node, rank) after ``iters`` damped power iterations; ``rank``
     is in RANK_SCALE fixed-point units (sum ~= RANK_SCALE)."""
     spark = edges.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    # scale-adaptive src partitioning (guide §2): the explicit
+    # repartition exists so every iteration's contribution join reuses
+    # one partitioning — but a FIXED core-count width is pure task
+    # latency on a small graph (32 near-empty partitions x 5
+    # iterations).  Derive the width from the input's own parallelism,
+    # capped at the session's: a toy graph iterates on few partitions,
+    # a real-scale edge scan (input splits >= cores) keeps full width.
+    n_part = max(1, min(spark.sparkContext.defaultParallelism,
+                        edges.rdd.getNumPartitions()))
     e = (edges.select("src", "dst").distinct()
          .repartition(n_part, "src"))
     e = e.persist()

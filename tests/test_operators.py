@@ -524,3 +524,75 @@ def test_quality_scores_matches_sql_form(spark, docs):
     got = {r["doc_id"]: r.asDict()
            for r in ts.quality_scores(sample).collect()}
     assert got == want
+
+
+def test_simhash_matches_sql_form(spark, corpus):
+    """Round-6: the zero-shuffle numpy simhash kernel must be
+    BIT-identical to the declarative two-groupBy SQL form it replaced
+    (kept here as the twin)."""
+    from pyspark.sql import functions as F
+
+    from perl_html5_dom_spark.operators import dedup as dd
+
+    def sql_impl(docs, bits=32):
+        tok = docs.selectExpr(
+            "doc_id", f"explode({dd.tokens_expr()}) as tok")
+        weighted = tok.groupBy("doc_id", "tok").agg(
+            F.count("*").alias("w"))
+        hashed = weighted.selectExpr("doc_id", "w", f"{dd.H('tok')} as ht")
+        bit_sums = [
+            F.sum(F.expr(
+                f"case when shiftright(ht, {b}) % 2 = 1 then w else -w end"))
+            .alias(f"s{b}")
+            for b in range(bits)
+        ]
+        pieces = " + ".join(
+            f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
+            f"else cast(0 as bigint) end)"
+            for b in range(bits))
+        return (hashed.groupBy("doc_id").agg(*bit_sums)
+                .selectExpr("doc_id", f"{pieces} as simhash"))
+
+    edge = spark.createDataFrame(
+        [(9200001, ""), (9200002, "one"), (9200003, None),
+         (9200004, "a a a b  b"), (9200005, "x " * 50)],
+        "doc_id long, text string")
+    sample = corpus.limit(80).unionAll(edge)
+    want = {r.doc_id: r.simhash for r in sql_impl(sample).collect()}
+    got = {r.doc_id: r.simhash
+           for r in dd.simhash(sample).collect()}
+    assert got == want
+
+
+def test_minhash_wide_sets_match_sql(spark, corpus):
+    """Round-6: the per-doc minhash kernel (_doc_minhash_sets) must be
+    BIT-identical to the declarative shingle-explode + wide-aggregate
+    + collect_set form it replaced."""
+    from pyspark.sql import functions as F
+
+    from perl_html5_dom_spark.operators import dedup as dd
+
+    edge = spark.createDataFrame(
+        [(9300001, ""), (9300002, "one two"), (9300003, None),
+         (9300004, "a b c d e f g"), (9300005, "x y x y x y")],
+        "doc_id long, text string")
+    sample = corpus.limit(80).unionAll(edge)
+
+    sh = dd._shingles(sample, 3).selectExpr(
+        "doc_id", f"{dd.H('shingle')} as hs")
+    want_wide = {r["doc_id"]: r.asDict()
+                 for r in dd._minhash_wide(sh, 16).collect()}
+    want_sets = {r.doc_id: sorted(r.hset) for r in
+                 sh.groupBy("doc_id").agg(
+                     F.collect_set("hs").alias("hset")).collect()}
+
+    got = dd._doc_minhash_sets(sample, 16, 3).collect()
+    got_wide = {r["doc_id"]: {k: v for k, v in r.asDict().items()
+                              if k != "hset"} for r in got}
+    got_sets = {r.doc_id: sorted(r.hset) for r in got}
+
+    # SQL form drops the null-text doc only from nothing: its hs row
+    # is null -> mins null, collect_set drops null -> empty array;
+    # the kernel mirrors exactly
+    assert got_wide == want_wide
+    assert got_sets == want_sets
