@@ -307,9 +307,14 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.5,
     # the 16-min wide-aggregate exchange and the collect_set exchange
     # with a single map pass (bit-exact: same H(), same % P perms, all
     # integer; pinned by test_minhash_wide_sets_match_sql).  The small
-    # (doc_id, mh*, hset) table IS persisted: it feeds the bucket
-    # self-join and both verify sides.
-    wide = _materialize(_doc_minhash_sets(docs, num_perm, k))
+    # (doc_id, mh*, hset) table is parquet-CHECKPOINTED — it feeds the
+    # bucket self-join and both verify sides, and the A/B at sf1 reads
+    # persist 3.17s / parquet 2.68s / none 3.49s (util.checkpoint_parquet
+    # rationale: repeated InMemoryRelation scans lose to vectorized
+    # parquet reads, and the array column makes the rows wide-ish).
+    from ..util import checkpoint_parquet
+    wide = checkpoint_parquet(_doc_minhash_sets(docs, num_perm, k),
+                              "minhash_wide")
     buckets = _band_keys(wide, num_perm, bands)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
