@@ -575,18 +575,25 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     round is two equi-joins + a partial-agg min (neighbor minimum, then
     comp-of-comp), giving O(log n) rounds on chains instead of O(n);
     near-dup clusters are dense, so in practice 2-3 rounds converge.
-    The per-round convergence check reads ONE driver-side count (the
-    standard control-flow scalar of iterative graph algorithms; GraphX
-    and GraphFrames do the same)."""
+    The per-round convergence scalar rides an ``observe()`` metric
+    collected DURING the round's checkpoint job — no separate count
+    job per round (round-6; GraphX reads the same scalar from its
+    round's accumulator for the same reason)."""
+    from pyspark.sql import Observation
+
     # one pass over pairs: the symmetric closure rides a map-side
     # 2-way explode instead of union(pairs, pairs-swapped), whose two
     # branches would each recompute the (possibly expensive, uncached)
     # pair pipeline — the round-6 webtext audit measured the minhash
-    # verify running twice inside this materialize
-    edges = pairs.selectExpr(
+    # verify running twice inside this materialize.  No distinct():
+    # every in-repo pair producer already emits distinct (a, b) rows,
+    # and min-label propagation is duplicate-tolerant anyway — the
+    # groupBy mins collapse repeats MAP-SIDE (partial aggregation),
+    # so the old edges.distinct() paid a full extra shuffle of the
+    # edge table to remove rows the aggregates absorb for free.
+    edges = _materialize(pairs.selectExpr(
         "explode(array(struct(a as u, b as v), "
-        "struct(b as u, a as v))) as e").select("e.u", "e.v")
-    edges = _materialize(edges.distinct())
+        "struct(b as u, a as v))) as e").select("e.u", "e.v"))
     # initial labels already carry round 0's neighbor minimum: comp =
     # least(self, min neighbor) falls out of ONE groupBy over edges
     # (which also de-duplicates nodes), replacing the old distinct +
@@ -602,6 +609,12 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                .join(labels.select("node"), "node", "left_anti")
                .withColumn("comp", F.col("node")))
         labels = labels.unionByName(iso)
+    # materialize the init: round 0 references `labels` THREE times
+    # (neighbor join, step join, pointer side) — unmaterialized, the
+    # init aggregate (and the iso anti-join) would run once per
+    # reference inside round 0's plan (round-6 audit; exchange reuse
+    # dedupes only the shuffle, not the aggregates above it)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # neighbor minimum.  (Plan growth is bounded by the ONE
         # localCheckpoint at the end of each round — the iterated
@@ -619,11 +632,15 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                         "least(comp, coalesce(nbr_comp, comp)) as comp1"))
         # pointer jumping: comp <- comp(comp)
         ptr = labels.selectExpr("node as comp1", "comp as jumped")
+        obs = Observation()
         new = (stepped.join(ptr, "comp1", "left")
                .selectExpr("node", "comp",
                            "least(comp1, coalesce(jumped, comp1)) as new_comp")
+               .observe(obs, F.sum(
+                   (F.col("new_comp") != F.col("comp")).cast("long"))
+                   .alias("changed"))
                .localCheckpoint(eager=True))
-        changed = new.filter(F.col("new_comp") != F.col("comp")).count()
+        changed = obs.get["changed"] or 0
         labels = new.selectExpr("node", "new_comp as comp")
         if changed == 0:
             break

@@ -1198,28 +1198,35 @@ def q_webtext_pipeline(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     ext = ex.extract_pages(pages, span_selector=None,
                            fields=["url", "main_text"])
-    # parquet-checkpointed, not persisted (round 6): docs feeds the
-    # 3-branch dup fan-out and kept feeds the shingle, signature, sets
-    # and anti-join passes — repeated scans of a deserialized
-    # InMemoryRelation cost ~3x a vectorized parquet read (the
-    # bench.py corpus-checkpoint rationale; measured 12.4s -> 7.4s
-    # end-to-end).  One kernel parse still feeds every stage — it runs
-    # exactly once, into the checkpoint write.
-    docs = ut.checkpoint_parquet(ext.selectExpr(
+    base = ext.selectExpr(
         "cast(substring_index(url, '/', -1) as bigint) as doc_id",
-        "main_text as text"), "webtext_docs")
-    corpus = docs.unionAll(
-        docs.where("doc_id % 5 = 0")
-        .selectExpr("doc_id + 100000 as doc_id", "text")
-    ).unionAll(
-        docs.where("doc_id % 3 = 0")
-        .selectExpr("doc_id + 200000 as doc_id", "text || ' zz yy xx' as text"))
-    # checkpointed: kept feeds FOUR passes (shingle explode, signature
-    # aggregate, verify sets, final anti-join/split) — unmaterialized,
-    # each pass re-runs the quality filter (guide §5 "caching is worth
-    # it when reused").  The text rides quality_scores' carry
-    # passthrough, so the filter needs no id-join back to the corpus
-    # (doc_id is unique: identical rows)
+        "main_text as text")
+    # duplicate fan-out as ONE map-side explode (round 6): the old
+    # 3-branch unionAll scanned the docs frame three times, which
+    # forced a dedicated docs checkpoint (a full wide-text parquet
+    # write) just to keep the parse from running thrice.  Emitting
+    # each doc's 1-3 corpus rows from a single scan makes the whole
+    # extract -> fan-out -> quality chain one fused kernel pipeline —
+    # the docs checkpoint (and its write) is gone, and the parse still
+    # runs exactly once.  Same row multiset as the unionAll (union
+    # order never mattered: every consumer aggregates or joins).
+    corpus = base.selectExpr(
+        "explode(filter(array("
+        " named_struct('doc_id', doc_id, 'text', text),"
+        " if(doc_id % 5 = 0, named_struct("
+        "   'doc_id', doc_id + 100000, 'text', text), null),"
+        " if(doc_id % 3 = 0, named_struct("
+        "   'doc_id', doc_id + 200000, 'text', text || ' zz yy xx'),"
+        "   null)), x -> x is not null)) as r"
+    ).select("r.doc_id", "r.text")
+    # parquet-checkpointed, not persisted (round 6): kept feeds the
+    # minhash kernel pass and the final anti-join/split — repeated
+    # scans of a deserialized InMemoryRelation cost ~3x a vectorized
+    # parquet read (the bench.py corpus-checkpoint rationale; measured
+    # 12.4s -> 7.4s end-to-end).  Unmaterialized, each pass would
+    # re-run the parse + quality chain.  The text rides
+    # quality_scores' carry passthrough, so the filter needs no
+    # id-join back to the corpus (doc_id is unique: identical rows)
     kept = ut.checkpoint_parquet(
         ts.quality_scores(corpus, carry=("text",))
         .where("quality >= 0.75").select("doc_id", "text"),

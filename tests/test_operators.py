@@ -131,6 +131,22 @@ def test_connected_components_chain_and_singletons(spark):
     assert sum(1 for c, k in keep.values() if k) == 5
 
 
+def test_connected_components_duplicate_pairs(spark):
+    """Round 6 dropped the edges.distinct() shuffle on the grounds that
+    min-label propagation is duplicate-tolerant (the partial-agg mins
+    collapse repeats map-side).  Lock that: duplicated and reversed
+    pair rows must yield exactly the labels of the clean pair list."""
+    from perl_html5_dom_spark.operators.dedup import connected_components
+
+    clean = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    noisy = clean * 3 + [(b, a) for a, b in clean] + [(2, 1), (3, 2)]
+    expect = {r.node: r.comp for r in connected_components(
+        spark.createDataFrame(clean, "a long, b long")).collect()}
+    got = {r.node: r.comp for r in connected_components(
+        spark.createDataFrame(noisy, "a long, b long")).collect()}
+    assert got == expect == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_gopher_quality_signals(spark):
     """Hand-computed Gopher/C4 signals on a fixed document."""
     from perl_html5_dom_spark.operators.textstats import gopher_quality
