@@ -221,30 +221,64 @@ def _doc_minhash_sets(docs: DataFrame, num_perm: int, k: int) -> DataFrame:
     def run(batches):
         from hashlib import md5
 
+        import numpy as np
         import pandas as pd
 
+        a_vec = np.array([p[0] for p in params], dtype=np.uint64)
+        b_vec = np.array([p[1] for p in params], dtype=np.uint64)
         for pdf in batches:
+            # batch-local distinct-text memo (the round-6 kernel
+            # recipe: exact dups share shingle sets, so signature and
+            # hset are computed once per DISTINCT text; the memo dies
+            # with the batch), and the 16 permutation mins run as ONE
+            # numpy reduceat over the batch's shingle rows instead of
+            # a Python loop (2x per-batch, bit-exact: h % P < 2^31 and
+            # a, b < P, so a*h+b < 2^62 never overflows uint64)
+            memo: dict = {}          # text -> index into u_hs/mins
+            u_hs: list = []          # per distinct text: hs list
+            offs: list = []
+            all_h: list = []
+            rows: list = []          # (doc_id, uidx or None)
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((did, None))
+                    continue
+                uidx = memo.get(text)
+                if uidx is None:
+                    t = text.split(" ")
+                    if len(t) >= k:
+                        sh = {" ".join(t[i:i + k])
+                              for i in range(len(t) - k + 1)}
+                    else:
+                        sh = {text}
+                    hs = [int(md5(s.encode()).hexdigest()[:15], 16)
+                          for s in sh]
+                    uidx = len(u_hs)
+                    memo[text] = uidx
+                    offs.append(len(all_h))
+                    all_h.extend(hs)
+                    u_hs.append(hs)
+                rows.append((did, uidx))
+            if u_hs:
+                h_arr = np.array(all_h, dtype=np.uint64) % np.uint64(P)
+                vals = (h_arr[:, None] * a_vec[None, :]
+                        + b_vec[None, :]) % np.uint64(P)
+                mins = np.minimum.reduceat(
+                    vals, np.array(offs, dtype=np.int64),
+                    axis=0).astype(np.int64)
             out: dict[str, list] = {c: [] for c in
                                     ["doc_id"] + mh_cols + ["hset"]}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, uidx in rows:
                 out["doc_id"].append(did)
-                if text is None:
+                if uidx is None:
                     for c in mh_cols:
                         out[c].append(None)
                     out["hset"].append([])
                     continue
-                t = text.split(" ")
-                if len(t) >= k:
-                    sh = {" ".join(t[i:i + k])
-                          for i in range(len(t) - k + 1)}
-                else:
-                    sh = {text}
-                hs = [int(md5(s.encode()).hexdigest()[:15], 16)
-                      for s in sh]
-                hp = [h % P for h in hs]
-                for (a, b), c in zip(params, mh_cols):
-                    out[c].append(min((a * h + b) % P for h in hp))
-                out["hset"].append(hs)
+                m = mins[uidx]
+                for ji, c in enumerate(mh_cols):
+                    out[c].append(int(m[ji]))
+                out["hset"].append(u_hs[uidx])
             yield pd.DataFrame(out)
 
     schema = ("doc_id bigint, "
@@ -518,33 +552,41 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         mask = (1 << bit_count) - 1
         for pdf in batches:
             hmemo: dict = {}
-            ids, hs, ws, offs = [], [], [], []
+            tmemo: dict = {}      # text -> distinct index (round-6
+            ids, uidxs = [], []   # batch-local exact-dup memo: equal
+            hs, ws, offs = [], [], []  # texts share the fingerprint)
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     # SQL twin: explode(split(null)) emits no token
                     # rows, so the doc is absent from the aggregate
                     continue
-                cnt: dict = {}
-                for t in text.split(" "):
-                    cnt[t] = cnt.get(t, 0) + 1
-                offs.append(len(hs))
+                u = tmemo.get(text)
+                if u is None:
+                    cnt: dict = {}
+                    for t in text.split(" "):
+                        cnt[t] = cnt.get(t, 0) + 1
+                    offs.append(len(hs))
+                    for t, w in cnt.items():
+                        h = hmemo.get(t)
+                        if h is None:
+                            h = int(md5(t.encode()).hexdigest()[:15],
+                                    16) & mask
+                            hmemo[t] = h
+                        hs.append(h)
+                        ws.append(w)
+                    u = len(tmemo)
+                    tmemo[text] = u
                 ids.append(did)
-                for t, w in cnt.items():
-                    h = hmemo.get(t)
-                    if h is None:
-                        h = int(md5(t.encode()).hexdigest()[:15],
-                                16) & mask
-                        hmemo[t] = h
-                    hs.append(h)
-                    ws.append(w)
+                uidxs.append(u)
             if not ids:
                 yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                     "simhash": pd.Series(dtype="int64")})
                 continue
-            # rows × bits sign contributions, summed per doc in one
-            # reduceat; rows are grouped per doc by construction and
-            # every doc has >= 1 row (split(' ') of non-null text is
-            # never empty), so every slice is non-empty
+            # rows × bits sign contributions, summed per DISTINCT text
+            # in one reduceat; rows are grouped per text by
+            # construction and every text has >= 1 row (split(' ') of
+            # non-null text is never empty), so every slice is
+            # non-empty; docs then index their text's fingerprint
             h_arr = np.array(hs, dtype=np.uint64)
             w_arr = np.array(ws, dtype=np.int64)
             bits_m = ((h_arr[:, None] >> shifts) & np.uint64(1)
@@ -554,7 +596,8 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
                 contrib, np.array(offs, dtype=np.int64), axis=0)
             sim = ((sums > 0).astype(np.uint64)
                    << shifts[None, :]).sum(axis=1).astype(np.int64)
-            yield pd.DataFrame({"doc_id": ids, "simhash": sim})
+            yield pd.DataFrame({"doc_id": ids,
+                                "simhash": sim[np.array(uidxs)]})
 
     return docs.select("doc_id", "text").mapInPandas(
         run, schema="doc_id bigint, simhash bigint")

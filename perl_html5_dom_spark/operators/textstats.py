@@ -79,6 +79,10 @@ def quality_scores(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
             out: dict[str, list] = {
                 "doc_id": [], "n_chars": [], "n_tokens": [],
                 "stop_hits": [], "alpha_chars": []}
+            # batch-local exact-dup memo (round-6 kernel recipe): the
+            # counts are pure functions of the text, so duplicate rows
+            # in a batch reuse them; the memo dies with the batch
+            memo: dict = {}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 out["doc_id"].append(did)
                 if text is None:
@@ -89,14 +93,19 @@ def quality_scores(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
                     out["stop_hits"].append(None)
                     out["alpha_chars"].append(None)
                     continue
-                t = text.split(" ")
-                out["n_chars"].append(len(text))
-                out["n_tokens"].append(len(t))
-                out["stop_hits"].append(
-                    sum(1 for w in t if w in markers))
-                out["alpha_chars"].append(
-                    len(text) - sum(len(m.group())
-                                    for m in non_alpha.finditer(text)))
+                hit = memo.get(text)
+                if hit is None:
+                    t = text.split(" ")
+                    hit = (len(text), len(t),
+                           sum(1 for w in t if w in markers),
+                           len(text) - sum(len(m.group())
+                                           for m in
+                                           non_alpha.finditer(text)))
+                    memo[text] = hit
+                out["n_chars"].append(hit[0])
+                out["n_tokens"].append(hit[1])
+                out["stop_hits"].append(hit[2])
+                out["alpha_chars"].append(hit[3])
             df = pd.DataFrame(out)
             for c in carry:
                 df[c] = pdf[c].values
