@@ -87,11 +87,22 @@ def pagerank(edges: DataFrame, iters: int = 5,
              .union(e.select("dst")).distinct())
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("odeg"))
-    # N is one scalar: a count job, not a data collect
-    n = nodes.count()
-    base = (D_DEN - D_NUM) * (RANK_SCALE // n)
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n).cast("long"))
-    ranks = ranks.join(outdeg, "node", "left")
+    # N rides the init frame as a 1-row broadcast column instead of a
+    # separate driver count job (round 6): `div n` over the constant
+    # column is the same integer arithmetic as the old `// n` literal,
+    # so ranks are bit-identical.  The init is checkpointed BEFORE the
+    # loop — iteration 0 references it three times (dangling mass,
+    # contributions, node frame), and unmaterialized each reference
+    # re-derived the distinct/union/outdeg subtree inside iteration
+    # 0's plan (measured cold: setup+iter0 3.0 -> 0.8 s at sf1).
+    ncol = nodes.agg(F.count("*").alias("n"))
+    ranks = (nodes.crossJoin(F.broadcast(ncol))
+             .selectExpr("node",
+                         f"cast({RANK_SCALE} div n as long) as rank",
+                         "n"))
+    ranks = (ranks.join(outdeg, "node", "left")
+             .select("node", "rank", "n", "odeg")
+             .localCheckpoint(eager=True))
 
     for i in range(iters):
         # dangling mass as a 1-row broadcast, kept in-plan
@@ -106,10 +117,11 @@ def pagerank(edges: DataFrame, iters: int = 5,
             ranks.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang))
             .selectExpr(
-                "node", "odeg",
-                f"cast(({base} + {D_NUM} * (coalesce(contrib, 0) "
-                f"+ dmass div {n})) div {D_DEN} as long) as rank")
-            .select("node", "rank", "odeg")
+                "node", "odeg", "n",
+                f"cast((({D_DEN} - {D_NUM}) * ({RANK_SCALE} div n) "
+                f"+ {D_NUM} * (coalesce(contrib, 0) "
+                f"+ dmass div n)) div {D_DEN} as long) as rank")
+            .select("node", "rank", "n", "odeg")
         )
         if materialize_every and (i + 1) % materialize_every == 0:
             ranks = ranks.localCheckpoint()
