@@ -615,15 +615,22 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
     per cluster (see ``dedup_keep``).
 
     Scale shape: min-label propagation with pointer jumping — each
-    round is two equi-joins + a partial-agg min (neighbor minimum, then
-    comp-of-comp), giving O(log n) rounds on chains instead of O(n);
-    near-dup clusters are dense, so in practice 2-3 rounds converge.
-    The per-round convergence scalar rides an ``observe()`` metric
-    collected DURING the round's checkpoint job — no separate count
-    job per round (round-6; GraphX reads the same scalar from its
-    round's accumulator for the same reason)."""
+    round is two equi-joins + a partial-agg min (neighbor minimum over
+    the self-loop-augmented edge list, then comp-of-comp), giving
+    O(log n) rounds on chains instead of O(n); near-dup clusters are
+    dense, so in practice 2-3 rounds converge.  Convergence detection
+    rides an ``observe()`` metric collected DURING each round's
+    checkpoint job — labels are monotone non-increasing, so the sum of
+    comps is a fixpoint signature (equal sums ⇔ no label moved); no
+    separate count job per round, and no old-comp column carried
+    through the round just to compare (round-6)."""
     from pyspark.sql import Observation
 
+    # the fixpoint signature sums comp ids as decimal(38,0): exact
+    # integer arithmetic with no bigint overflow however many nodes /
+    # however large the ids (sum(long) would overflow under ANSI at
+    # real scale)
+    sig_expr = F.sum(F.col("comp").cast("decimal(38,0)")).alias("sig")
     # one pass over pairs: the symmetric closure rides a map-side
     # 2-way explode instead of union(pairs, pairs-swapped), whose two
     # branches would each recompute the (possibly expensive, uncached)
@@ -652,41 +659,43 @@ def connected_components(pairs: DataFrame, nodes: DataFrame | None = None,
                .join(labels.select("node"), "node", "left_anti")
                .withColumn("comp", F.col("node")))
         labels = labels.unionByName(iso)
-    # materialize the init: round 0 references `labels` THREE times
-    # (neighbor join, step join, pointer side) — unmaterialized, the
-    # init aggregate (and the iso anti-join) would run once per
+    # materialize the init: round 0 references `labels` three times
+    # (neighbor join, self-loop side, pointer side) — unmaterialized,
+    # the init aggregate (and the iso anti-join) would run once per
     # reference inside round 0's plan (round-6 audit; exchange reuse
-    # dedupes only the shuffle, not the aggregates above it)
-    labels = labels.localCheckpoint(eager=True)
+    # dedupes only the shuffle, not the aggregates above it).  The
+    # init signature rides the same checkpoint job.
+    obs0 = Observation()
+    labels = (labels.observe(obs0, sig_expr)
+              .localCheckpoint(eager=True))
+    prev_sig = obs0.get["sig"]
     for _ in range(max_iter):
-        # neighbor minimum.  (Plan growth is bounded by the ONE
+        # neighbor minimum over edges ∪ self-loops: the self-loop side
+        # (one (n, n) row per labeled node, a map-side union of two
+        # materialized frames) makes the groupBy min yield
+        # least(own comp, min neighbor comp) directly — the old
+        # labels-to-nbr left join existed only to mix own comp back in
+        # and is gone.  (Plan growth is bounded by the ONE
         # localCheckpoint at the end of each round — the iterated
         # self-referencing joins otherwise grow the plan exponentially
         # and OOM the DRIVER during analysis; a real cluster job would
-        # use a reliable checkpoint dir instead.  The loop-top
-        # re-checkpoint this replaced only re-materialized the
-        # previous round's already-checkpointed output: one wasted
-        # eager job per round.)
-        nbr = (edges.join(labels.withColumnRenamed("node", "v"), "v")
-               .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
-        stepped = (
-            labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
-            .selectExpr("node", "comp",
-                        "least(comp, coalesce(nbr_comp, comp)) as comp1"))
+        # use a reliable checkpoint dir instead.)
+        esl = edges.union(labels.selectExpr("node as u", "node as v"))
+        stepped = (esl.join(labels.withColumnRenamed("node", "v"), "v")
+                   .groupBy("u").agg(F.min("comp").alias("c")))
         # pointer jumping: comp <- comp(comp)
-        ptr = labels.selectExpr("node as comp1", "comp as jumped")
+        ptr = labels.selectExpr("node as c", "comp as jumped")
         obs = Observation()
-        new = (stepped.join(ptr, "comp1", "left")
-               .selectExpr("node", "comp",
-                           "least(comp1, coalesce(jumped, comp1)) as new_comp")
-               .observe(obs, F.sum(
-                   (F.col("new_comp") != F.col("comp")).cast("long"))
-                   .alias("changed"))
+        new = (stepped.join(ptr, "c", "left")
+               .selectExpr("u as node",
+                           "least(c, coalesce(jumped, c)) as comp")
+               .observe(obs, sig_expr)
                .localCheckpoint(eager=True))
-        changed = obs.get["changed"] or 0
-        labels = new.selectExpr("node", "new_comp as comp")
-        if changed == 0:
+        sig = obs.get["sig"]
+        labels = new
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels.selectExpr("node", "comp")
 
 
