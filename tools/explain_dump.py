@@ -280,25 +280,30 @@ def main() -> None:
     grab("Capstone webtext_pipeline: one parse feeds every stage",
          q_webtext_pipeline(spark, sf),
          "The end-to-end curation chain (r4 #4 audit; restructured in "
-         "rounds 5 and 6).  Round-6 shape: the two frames later stages "
-         "re-scan — the parsed docs and the quality-filtered kept "
-         "corpus — are parquet-CHECKPOINTED inside the query "
-         "(util.checkpoint_parquet: fresh mkdtemp per invocation, "
-         "recomputed every run — plan truncation, not result caching), "
-         "because repeated scans of a deserialized InMemoryRelation "
-         "cost ~3x a vectorized parquet read (measured 12.4 → 7.4 s "
-         "at sf1).  The plan below is therefore the FINAL segment "
-         "after the eager checkpoint writes: the extraction kernel ran "
-         "exactly ONCE, into the docs checkpoint (nothing downstream "
-         "can re-parse — the html is gone from the lineage); the "
-         "quality filter rode quality_scores' integer Arrow kernel + "
-         "carry passthrough (no id-join back to the corpus); duplicate "
-         "removal is ONE BroadcastHashJoin LeftAnti (bare-bigint "
-         "losers broadcast — round 5 had this pushed through the "
-         "3-branch corpus Union as three SortMergeJoin LeftAnti); the "
-         "train selection is corpus_split's carry passthrough — a "
-         "pure filter, no join; and the only Exchange is sequence "
-         "packing's own per-bucket window shuffle.")
+         "rounds 5 and 6).  Round-6 shape: ONE wide-text frame — the "
+         "quality-filtered kept corpus — is parquet-CHECKPOINTED "
+         "inside the query (util.checkpoint_parquet: fresh mkdtemp "
+         "per invocation, recomputed every run — plan truncation, not "
+         "result caching), because repeated scans of a deserialized "
+         "InMemoryRelation cost ~3x a vectorized parquet read "
+         "(measured 12.4 → 7.4 s at sf1).  The former second (docs) "
+         "checkpoint is gone: the 3-branch duplicate fan-out became a "
+         "single map-side explode, so extract → fan-out → quality "
+         "fuses into one kernel pipeline feeding the kept write — the "
+         "extraction kernel ran exactly ONCE (nothing downstream can "
+         "re-parse — the html is gone from the lineage).  The plan "
+         "below is therefore the FINAL segment after the eager "
+         "checkpoint write: duplicate removal is ONE anti-join of the "
+         "kept scan against the bare-bigint loser ids (statically "
+         "planned SortMergeJoin LeftAnti because the checkpointed "
+         "loser RDD has no pre-run size estimate; at runtime the "
+         "AdaptiveSparkPlan converts it to a broadcast join — the "
+         "losers are a few thousand bigints — and round 5 had this "
+         "pushed through the 3-branch corpus Union as three "
+         "SortMergeJoin LeftAnti); the train selection is "
+         "corpus_split's carry passthrough — a pure filter, no join; "
+         "and the only other Exchange is sequence packing's own "
+         "per-bucket window shuffle.")
 
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the core operators\n\n")
