@@ -46,6 +46,50 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 _NAME_HASH = re.compile(rb"#([0-9A-Fa-f]{2})")
+# C-speed scanners for the lexer hot loops (round 6): one regex match
+# replaces the per-byte Python loop.  Semantics identical by
+# construction — the whitespace run also swallows %-comments to EOL
+# exactly as the old loop did (an unterminated trailing comment runs to
+# end of data), and the keyword class is the complement of WS ∪ DELIM.
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*")
+_KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+# literal-string fast path: a run with no backslash and no parens,
+# ending at the closing ')'
+_LIT_PLAIN_RE = re.compile(rb"[^\\()]*\)")
+# content-stream master token: leading whitespace/comments + ONE token,
+# classified by group — one C-level match replaces the skip_ws / peek /
+# read_keyword call triple per token in the §9.4 interpreter.  Group
+# coverage is total: every byte is ws, '%' (comment), keyword-class
+# (num/op, split on the numeric start set, or the run after '/'), or a
+# delimiter — so a non-match can only mean trailing ws/comments.
+_CS_TOK = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*"
+    rb"(?:(?P<num>[+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<delim>[()<>\[\]{}])"
+    rb")")
+# object-syntax master token (§7.3): same idea for read_object.  The
+# ref alternative folds the common ws-separated ``INT INT R`` lookahead
+# into the single match (it must precede num in the alternation); a
+# digit-led token that is NOT a ws-separated ref (int arrays, refs
+# split by comments) falls back to the old explicit lookahead, so the
+# parse is bit-identical on every input.
+_OBJ_TOK = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*"
+    rb"(?:(?P<rnum>\d+)[\x00\t\n\x0c\r ]+(?P<rgen>\d+)"
+    rb"[\x00\t\n\x0c\r ]+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|(?P<num>[+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<delim><<|[(<\[])"
+    rb")")
+# dict-body fast step: ws/comments + either the closing '>>' or a name
+# key — one match per dict entry instead of skip_ws + two-byte slice
+# compare + full read_object for the key
+_DICT_KEY = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*"
+    rb"(?:(?P<end>>>)|/(?P<key>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*))")
 
 
 class PdfError(ValueError):
@@ -96,27 +140,15 @@ class _Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        data, n = self.data, len(self.data)
-        while self.pos < n:
-            c = data[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to EOL
-                j = data.find(b"\n", self.pos)
-                self.pos = n if j < 0 else j + 1
-            else:
-                return
+        self.pos = _WS_RE.match(self.data, self.pos).end()
 
     def peek(self) -> int:
         return self.data[self.pos] if self.pos < len(self.data) else -1
 
     def read_keyword(self) -> bytes:
-        start = self.pos
-        data, n = self.data, len(self.data)
-        while self.pos < n and data[self.pos] not in _WS \
-                and data[self.pos] not in _DELIM:
-            self.pos += 1
-        return data[start:self.pos]
+        m = _KW_RE.match(self.data, self.pos)
+        self.pos = m.end()
+        return m.group()
 
     # -- object kinds ------------------------------------------------------
 
@@ -129,6 +161,14 @@ class _Lexer:
     def read_literal_string(self) -> bytes:
         data, n = self.data, len(self.data)
         self.pos += 1  # '('
+        # fast path: no escapes, no nested parens — one regex match
+        # lands exactly on the closing ')' (fails to match, and falls
+        # through to the full state machine, the moment the next
+        # special byte is '\\' or '(')
+        m = _LIT_PLAIN_RE.match(data, self.pos)
+        if m:
+            self.pos = m.end()
+            return m.group()[:-1]
         out = bytearray()
         depth = 1
         while self.pos < n:
@@ -184,20 +224,67 @@ class _Lexer:
         return bytes.fromhex(hexdigits.decode("ascii"))
 
     def read_object(self):
-        self.skip_ws()
-        c = self.peek()
-        if c < 0:
-            raise PdfError("unexpected end of data")
         data = self.data
-        if c == 0x2F:  # '/'
-            return self.read_name()
-        if c == 0x28:  # '('
-            return self.read_literal_string()
-        if c == 0x3C:  # '<' or '<<'
-            if data[self.pos:self.pos + 2] == b"<<":
+        m = _OBJ_TOK.match(data, self.pos)
+        if m is None:
+            # distinguish end-of-data from a stray close-delimiter,
+            # exactly as the old skip_ws + peek + read_keyword path did
+            self.pos = _WS_RE.match(data, self.pos).end()
+            if self.pos >= len(data):
+                raise PdfError("unexpected end of data")
+            raise PdfError(f"lex error at byte {self.pos}")
+        # dispatch on the matched alternative (group indices: 1 rnum,
+        # 2 rgen, 3 num, 4 name, 5 kw, 6 delim); lastindex counts an
+        # empty name match, so bare '/' still lands on 4
+        li = m.lastindex
+        if li == 3:  # number (or the non-ws-separated-ref fallback)
+            kw = m.group(3)
+            self.pos = m.end()
+            try:
+                if b"." in kw or b"e" in kw or b"E" in kw:
+                    return float(kw)
+                num = int(kw)
+            except ValueError as exc:
+                raise PdfError(f"bad token {kw!r} at {self.pos}") from exc
+            # possible indirect reference the master regex did not fold
+            # (int arrays, or refs separated by comments): the old
+            # explicit INT INT R lookahead, verbatim
+            save = self.pos
+            self.skip_ws()
+            c2 = self.peek()
+            if 0x30 <= c2 <= 0x39:
+                kw2 = self.read_keyword()
+                save2 = self.pos
+                self.skip_ws()
+                kw3 = self.read_keyword()
+                if kw3 == b"R":
+                    return Ref(num, int(kw2))
+                self.pos = save2
+                # second int was a separate object; rewind to before it
+                self.pos = save
+                return num
+            self.pos = save
+            return num
+        if li == 4:  # name
+            nm = m.group(4)
+            self.pos = m.end()
+            if b"#" in nm:
+                nm = _NAME_HASH.sub(
+                    lambda h: bytes([int(h.group(1), 16)]), nm)
+            return Name(nm.decode("latin-1"))
+        if li == 2:  # ws-separated INT INT R folded into one match
+            self.pos = m.end()
+            return Ref(int(m.group(1)), int(m.group(2)))
+        if li == 6:  # delimiter-led object
+            d = m.group(6)
+            self.pos = m.start(6)
+            if d == b"<<":
                 return self._read_dict_or_stream()
-            return self.read_hex_string()
-        if c == 0x5B:  # '['
+            if d == b"(":
+                return self.read_literal_string()
+            if d == b"<":
+                return self.read_hex_string()
+            # '['
             self.pos += 1
             arr = []
             while True:
@@ -206,9 +293,8 @@ class _Lexer:
                     self.pos += 1
                     return arr
                 arr.append(self.read_object())
-        kw = self.read_keyword()
-        if not kw:
-            raise PdfError(f"lex error at byte {self.pos}")
+        kw = m.group(5)
+        self.pos = m.end()
         if kw == b"true":
             return True
         if kw == b"false":
@@ -221,36 +307,32 @@ class _Lexer:
             num = int(kw)
         except ValueError as exc:
             raise PdfError(f"bad token {kw!r} at {self.pos}") from exc
-        # possible indirect reference: INT INT R
-        save = self.pos
-        self.skip_ws()
-        c2 = self.peek()
-        if 0x30 <= c2 <= 0x39:
-            kw2 = self.read_keyword()
-            save2 = self.pos
-            self.skip_ws()
-            kw3 = self.read_keyword()
-            if kw3 == b"R":
-                return Ref(num, int(kw2))
-            self.pos = save2
-            # second int was a separate object; rewind to before it
-            self.pos = save
-            return num
-        self.pos = save
         return num
 
     def _read_dict_or_stream(self):
         self.pos += 2  # '<<'
         d: dict = {}
         while True:
-            self.skip_ws()
-            if self.data[self.pos:self.pos + 2] == b">>":
-                self.pos += 2
+            m = _DICT_KEY.match(self.data, self.pos)
+            if m is None:
+                # not '>>' and not a name key: reproduce the old error
+                # path (read_object raises its lex error, or yields a
+                # non-Name object)
+                self.skip_ws()
+                key = self.read_object()
+                if not isinstance(key, Name):
+                    raise PdfError("dict key is not a name")
+                d[str(key)] = self.read_object()
+                continue
+            if m.group("end") is not None:
+                self.pos = m.end()
                 break
-            key = self.read_object()
-            if not isinstance(key, Name):
-                raise PdfError("dict key is not a name")
-            d[str(key)] = self.read_object()
+            key = m.group("key")
+            self.pos = m.end()
+            if b"#" in key:
+                key = _NAME_HASH.sub(
+                    lambda h: bytes([int(h.group(1), 16)]), key)
+            d[key.decode("latin-1")] = self.read_object()
         save = self.pos
         self.skip_ws()
         if self.data[self.pos:self.pos + 6] == b"stream":
@@ -656,26 +738,44 @@ def _spans_from_content(content: bytes) -> list[tuple[float, float, str]]:
 
     data = content
     n = len(data)
+    pos = 0
     while True:
-        lex.skip_ws()
-        if lex.pos >= n:
-            break
-        c = lex.peek()
-        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
-            stack.append(lex.read_object())
-            continue
-        if 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):
+        # one master-regex match per token (see _CS_TOK): same
+        # tokenization as the old skip_ws/peek/read_keyword triple,
+        # dispatched on the matched group
+        m = _CS_TOK.match(data, pos)
+        if m is None:
+            break  # only trailing whitespace/comments remain
+        pos = m.end()
+        li = m.lastindex  # 1 num, 2 name, 3 op, 4 delim
+        if li == 1:
             # plain numeric operand — never an indirect ref in content
-            kw = lex.read_keyword()
+            kw = m.group(1)
             try:
                 stack.append(float(kw) if b"." in kw else int(kw))
             except ValueError:
                 stack.clear()
             continue
-        op = lex.read_keyword()
-        if not op:
-            lex.pos += 1
+        if li == 2:
+            nm = m.group(2)
+            if b"#" in nm:
+                nm = _NAME_HASH.sub(
+                    lambda h: bytes([int(h.group(1), 16)]), nm)
+            stack.append(Name(nm.decode("latin-1")))
             continue
+        if li == 4:
+            d = m.group(4)
+            if d == b"(" or d == b"[" or d == b"<":
+                # string / array / hex-or-dict: delegate to the object
+                # lexer from the delimiter (exactly what the old loop's
+                # read_object() dispatch did)
+                lex.pos = m.start(4)
+                stack.append(lex.read_object())
+                pos = lex.pos
+            # stray ')' ']' '{' '}': skip the byte, stack untouched
+            # (the old read_keyword-empty path)
+            continue
+        op = m.group(3)
         try:
             if op == b"BT":
                 tm = tlm = (0.0, 0.0)
@@ -711,8 +811,8 @@ def _spans_from_content(content: bytes) -> list[tuple[float, float, str]]:
                 if in_text and stack:
                     show(stack[-1])
             elif op == b"BI":  # inline image: skip to EI
-                j = data.find(b"EI", lex.pos)
-                lex.pos = n if j < 0 else j + 2
+                j = data.find(b"EI", pos)
+                pos = n if j < 0 else j + 2
         except (IndexError, TypeError, ValueError):
             pass
         stack.clear()

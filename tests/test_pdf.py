@@ -316,3 +316,73 @@ def test_spark_malformed_pdf_row(spark):
     rows = {r.url: r for r in extract_pdfs(df).collect()}
     assert rows["u1"].err == "PdfError" and rows["u1"].n_pages == 0
     assert rows["u2"].err is None and rows["u2"].n_pages == 2
+
+
+# ---------------------------------------------------------------------------
+# object-lexer semantics locked after the round-6 regex-scanner rewrite
+# (master-token regexes replaced the per-byte loops; these cases pin
+# the corners where the fast paths must fall back or stay byte-equal)
+# ---------------------------------------------------------------------------
+
+
+def test_lexer_ws_separated_ref_and_boundary():
+    from perl_html5_dom_spark.dom.pdf import Ref, _Lexer
+
+    # plain ws-separated ref (the folded fast path)
+    assert _Lexer(b"3 0 R ").read_object() == Ref(3, 0)
+    # R directly followed by a delimiter is still a ref terminator
+    lex = _Lexer(b"3 0 R/Next")
+    assert lex.read_object() == Ref(3, 0)
+    assert str(lex.read_object()) == "Next"
+    # 'Rx' is NOT the R keyword: the int stands alone (rewind path)
+    lex = _Lexer(b"1 2 Rx")
+    assert lex.read_object() == 1
+    assert lex.read_object() == 2
+    with pytest.raises(PdfError):
+        lex.read_object()  # bare 'Rx' keyword is not an object
+
+
+def test_lexer_comment_separated_ref_falls_back():
+    from perl_html5_dom_spark.dom.pdf import Ref, _Lexer
+
+    # comments are whitespace between the three tokens (§7.2.4): the
+    # master regex cannot fold this, the explicit lookahead must
+    assert _Lexer(b"6 % c\n 0 % c\n R ").read_object() == Ref(6, 0)
+
+
+def test_lexer_int_array_is_not_a_ref():
+    from perl_html5_dom_spark.dom.pdf import _Lexer
+
+    assert _Lexer(b"[0 0 612 792]").read_object() == [0, 0, 612, 792]
+    # trailing int pair at end of data: ints, not a truncated ref
+    lex = _Lexer(b"7 9")
+    assert lex.read_object() == 7
+    assert lex.read_object() == 9
+
+
+def test_lexer_empty_name_and_empty_hex():
+    from perl_html5_dom_spark.dom.pdf import Name, _Lexer
+
+    assert _Lexer(b"/ ").read_object() == Name("")
+    assert _Lexer(b"<>").read_object() == b""
+    assert _Lexer(b"/A#42C").read_object() == Name("ABC")
+
+
+def test_lexer_literal_string_fast_and_slow_paths():
+    from perl_html5_dom_spark.dom.pdf import _Lexer
+
+    assert _Lexer(b"(plain text)").read_object() == b"plain text"
+    assert _Lexer(rb"(a\(b)").read_object() == b"a(b"
+    assert _Lexer(b"(a(b)c)").read_object() == b"a(b)c"
+    assert _Lexer(rb"(oct \101\12)").read_object() == b"oct A\n"
+
+
+def test_content_stream_stray_delims_and_dict_operand():
+    from perl_html5_dom_spark.dom.pdf import _spans_from_content
+
+    # stray close-delimiters are skipped without clearing operands;
+    # a BDC property dict is consumed as one operand
+    spans = _spans_from_content(
+        b"] } BT /F1 12 Tf 72 700 Td "
+        b"/Tag << /K 1 >> BDC (x) Tj ET")
+    assert spans == [(700.0, 72.0, "x")]
