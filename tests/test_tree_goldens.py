@@ -8340,8 +8340,10 @@ a</ b>c
 # Family #48 — fragment contexts the set never sampled, each hitting
 # a distinct branch of the reset-the-insertion-mode algorithm
 # (§13.2.4.1) or the fragment tokenizer-state table (§13.2.2):
-# optgroup resets to "in select" exactly like select itself (option
-# start tags pop an open option); style and iframe put the tokenizer
+# optgroup has no case of its own in reset-the-insertion-mode, so it
+# falls through to the anything-else branch ("in body"), whose option
+# start-tag pop rule happens to yield the same tree as "in select"
+# (option start tags pop an open option); style and iframe put the tokenizer
 # in RAWTEXT for the whole input, so markup stays literal text and
 # entities do NOT decode; thead resets to "in table body" and grows
 # the tr/td ladder without any table element on the stack.
