@@ -152,12 +152,6 @@ class _Lexer:
 
     # -- object kinds ------------------------------------------------------
 
-    def read_name(self) -> Name:
-        self.pos += 1  # '/'
-        raw = self.read_keyword()
-        raw = _NAME_HASH.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
-        return Name(raw.decode("latin-1"))
-
     def read_literal_string(self) -> bytes:
         data, n = self.data, len(self.data)
         self.pos += 1  # '('
